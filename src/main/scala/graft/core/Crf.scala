@@ -1,0 +1,289 @@
+package graft.core
+
+/** Linear-chain CRF with windowed label cliques.
+  *
+  * Semantics follow the reference engine's factor-table formulation
+  * (/root/reference/src/edu/stanford/nlp/ie/crf/FactorTable.java:16-29,
+  * CRFCliqueTree.java:471-531, sequences/ExactBestSequenceFinder.java:94-230)
+  * re-derived as plain Scala suitable for partition-local execution inside
+  * Spark typed closures: the per-document data never leaves the closure, so
+  * primitive arrays (not Catalyst rows) are the right physical layout.
+  *
+  * Model shape:
+  *  - `windowSize` w: the log-potential at position i is a function of the
+  *    label window (y_{i-w+1} .. y_i); labels before the document are fixed
+  *    to `backgroundIndex` (pad semantics of CRFClassifier.java:538-575).
+  *  - Features attach to *suffix clique groups* g = 0..w-1: a group-g feature
+  *    at position i scores the (g+1)-label suffix (y_{i-g} .. y_i).
+  *  - Encoding: a window (a, b, c) of size m over C classes is the mixed-radix
+  *    int a*C^(m-1) + b*C + c (oldest label in the highest radix position), so
+  *    the length-m suffix of a full window enc is simply `enc % C^m`.
+  */
+object Crf {
+
+  /** Per-document encoded features: feats(pos)(group) = active feature ids. */
+  type EncodedDoc = Array[Array[Array[Int]]]
+
+  /** Immutable model parameters, broadcast-friendly.
+    *
+    * @param weightCol  weightCol(g)(suffixEnc) = column index into a group-g
+    *                   feature's weight row, or -1 if that label window is not
+    *                   in the model (observed-sequences-only training).
+    * @param weights    weights(featureId) = row of length numCols(group(featureId)).
+    */
+  final class Params(
+      val numClasses: Int,
+      val windowSize: Int,
+      val backgroundIndex: Int,
+      val weightCol: Array[Array[Int]],
+      val weights: Array[Array[Double]]
+  ) extends Serializable {
+    require(weightCol.length == windowSize)
+    val fullSize: Int = pow(numClasses, windowSize)
+    val numStates: Int = pow(numClasses, windowSize - 1)
+    /** Encoded all-background state of w-1 labels (the pre-document state). */
+    val initState: Int = {
+      var s = 0; var i = 0
+      while (i < windowSize - 1) { s = s * numClasses + backgroundIndex; i += 1 }
+      s
+    }
+  }
+
+  def pow(base: Int, exp: Int): Int = {
+    var r = 1; var i = 0
+    while (i < exp) { r *= base; i += 1 }
+    r
+  }
+
+  private val NegInf = Double.NegativeInfinity
+
+  /** Stable log(sum(exp(xs))) over a primitive array slice. */
+  def logSumExp(xs: Array[Double]): Double = {
+    var max = NegInf
+    var i = 0
+    while (i < xs.length) { if (xs(i) > max) max = xs(i); i += 1 }
+    if (max == NegInf) return NegInf
+    var s = 0.0
+    i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - max); i += 1 }
+    max + math.log(s)
+  }
+
+  /** Per-position log-potential tables over the full C^w window space.
+    * table(pos)(fullEnc) = sum over groups g of the weights of active group-g
+    * features at pos for the suffix `fullEnc % C^(g+1)`.
+    * (Reference semantic: CRFCliqueTree.getFactorTable, CRFCliqueTree.java:497-531.)
+    */
+  def logPotentials(doc: EncodedDoc, p: Params): Array[Array[Double]] = {
+    val C = p.numClasses
+    val w = p.windowSize
+    val full = p.fullSize
+    val n = doc.length
+    val out = new Array[Array[Double]](n)
+    // scratch per-group suffix score vectors
+    val groupScore = Array.tabulate(w)(g => new Array[Double](pow(C, g + 1)))
+    var pos = 0
+    while (pos < n) {
+      var g = 0
+      while (g < w) {
+        val gs = groupScore(g)
+        java.util.Arrays.fill(gs, 0.0)
+        val feats = doc(pos)(g)
+        val cols = p.weightCol(g)
+        var e = 0
+        while (e < gs.length) {
+          val col = cols(e)
+          if (col >= 0) {
+            var k = 0
+            var s = 0.0
+            while (k < feats.length) { s += p.weights(feats(k))(col); k += 1 }
+            gs(e) = s
+          } else gs(e) = NegInf // disallowed label window
+          e += 1
+        }
+        g += 1
+      }
+      val table = new Array[Double](full)
+      var enc = 0
+      while (enc < full) {
+        var s = 0.0
+        var g = 0
+        var mod = C
+        while (g < w) {
+          s += groupScore(g)(enc % mod)
+          mod *= C
+          g += 1
+        }
+        table(enc) = s
+        enc += 1
+      }
+      out(pos) = table
+      pos += 1
+    }
+    out
+  }
+
+  /** Viterbi decode: argmax_y sum_i psi_i(window_i(y)). Returns label per position.
+    * (Reference semantic: ExactBestSequenceFinder.java:94-230 specialized to the
+    * left-window chain; states are the w-1 most recent labels.)
+    */
+  def viterbi(potentials: Array[Array[Double]], p: Params): Array[Int] = {
+    val C = p.numClasses
+    val S = p.numStates
+    val n = potentials.length
+    if (n == 0) return Array.emptyIntArray
+    val delta = new Array[Double](S)
+    val deltaNext = new Array[Double](S)
+    val back = Array.ofDim[Int](n, S)
+    java.util.Arrays.fill(delta, NegInf)
+    delta(p.initState) = 0.0
+    var pos = 0
+    while (pos < n) {
+      java.util.Arrays.fill(deltaNext, NegInf)
+      val psi = potentials(pos)
+      var s = 0
+      while (s < S) {
+        val ds = delta(s)
+        if (ds != NegInf) {
+          var c = 0
+          while (c < C) {
+            val fullEnc = s * C + c
+            val sNext = fullEnc % S
+            val v = ds + psi(fullEnc)
+            if (v > deltaNext(sNext)) { deltaNext(sNext) = v; back(pos)(sNext) = s }
+            c += 1
+          }
+        }
+        s += 1
+      }
+      System.arraycopy(deltaNext, 0, delta, 0, S)
+      pos += 1
+    }
+    // best final state, then backtrace; the emitted label at pos is state % C
+    var best = 0
+    var bestV = NegInf
+    var s = 0
+    while (s < S) { if (delta(s) > bestV) { bestV = delta(s); best = s }; s += 1 }
+    val labels = new Array[Int](n)
+    var st = best
+    var pos2 = n - 1
+    while (pos2 >= 0) {
+      labels(pos2) = st % C
+      st = back(pos2)(st)
+      pos2 -= 1
+    }
+    labels
+  }
+
+  /** Result of the forward-backward (clique-tree calibration) pass:
+    * logZ and per-position posterior log P(full window = enc | x).
+    * (Reference semantic: CRFCliqueTree.getCalibratedCliqueTree,
+    * CRFCliqueTree.java:471-495.)
+    */
+  final class Calibrated(val logZ: Double, val logMarginals: Array[Array[Double]])
+
+  def forwardBackward(potentials: Array[Array[Double]], p: Params): Calibrated = {
+    val C = p.numClasses
+    val S = p.numStates
+    val full = p.fullSize
+    val n = potentials.length
+    if (n == 0) return new Calibrated(0.0, Array.empty)
+    // alpha(i)(s) = log sum over prefixes ending in state s after position i
+    val alpha = Array.ofDim[Double](n, S)
+    val acc = new Array[Double](S) // scratch: contributions per predecessor
+    var pos = 0
+    while (pos < n) {
+      val psi = potentials(pos)
+      val prev: Array[Double] = if (pos == 0) null else alpha(pos - 1)
+      var sNext = 0
+      while (sNext < S) { alpha(pos)(sNext) = NegInf; sNext += 1 }
+      var s = 0
+      while (s < S) {
+        val base = if (pos == 0) { if (s == p.initState) 0.0 else NegInf } else prev(s)
+        if (base != NegInf) {
+          var c = 0
+          while (c < C) {
+            val fullEnc = s * C + c
+            val tgt = fullEnc % S
+            val v = base + psi(fullEnc)
+            val cur = alpha(pos)(tgt)
+            // incremental logAdd
+            alpha(pos)(tgt) =
+              if (cur == NegInf) v
+              else if (v == NegInf) cur
+              else if (cur > v) cur + math.log1p(math.exp(v - cur))
+              else v + math.log1p(math.exp(cur - v))
+            c += 1
+          }
+        }
+        s += 1
+      }
+      pos += 1
+    }
+    val logZ = logSumExp(alpha(n - 1))
+    // beta(i)(s) = log sum over suffixes starting after position i from state s
+    val beta = Array.ofDim[Double](n, S)
+    java.util.Arrays.fill(beta(n - 1), 0.0)
+    pos = n - 2
+    while (pos >= 0) {
+      val psi = potentials(pos + 1)
+      var s = 0
+      while (s < S) {
+        var c = 0
+        var m = NegInf
+        var k = 0
+        while (c < C) {
+          val fullEnc = s * C + c
+          val v = psi(fullEnc) + beta(pos + 1)(fullEnc % S)
+          acc(k) = v; k += 1
+          if (v > m) m = v
+          c += 1
+        }
+        var sum = 0.0
+        var j = 0
+        if (m == NegInf) beta(pos)(s) = NegInf
+        else {
+          while (j < k) { sum += math.exp(acc(j) - m); j += 1 }
+          beta(pos)(s) = m + math.log(sum)
+        }
+        s += 1
+      }
+      pos -= 1
+    }
+    // posterior over full windows: alpha_{i-1}(s) + psi_i(s*C+c) + beta_i((s*C+c)%S) - logZ
+    val marg = Array.ofDim[Double](n, full)
+    pos = 0
+    while (pos < n) {
+      val psi = potentials(pos)
+      var s = 0
+      while (s < S) {
+        val aPrev =
+          if (pos == 0) { if (s == p.initState) 0.0 else NegInf }
+          else alpha(pos - 1)(s)
+        var c = 0
+        while (c < C) {
+          val fullEnc = s * C + c
+          marg(pos)(fullEnc) =
+            if (aPrev == NegInf) NegInf
+            else aPrev + psi(fullEnc) + beta(pos)(fullEnc % S) - logZ
+          c += 1
+        }
+        s += 1
+      }
+      pos += 1
+    }
+    new Calibrated(logZ, marg)
+  }
+
+  /** Encode the full label window ending at `pos` (pads = background). */
+  def windowEnc(labels: Array[Int], pos: Int, p: Params): Int = {
+    var enc = 0
+    var i = pos - p.windowSize + 1
+    while (i <= pos) {
+      val y = if (i < 0) p.backgroundIndex else labels(i)
+      enc = enc * p.numClasses + y
+      i += 1
+    }
+    enc
+  }
+}

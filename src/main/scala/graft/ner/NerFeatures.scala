@@ -1,0 +1,118 @@
+package graft.ner
+
+/** Feature templates of the reference's conllNoTags preset
+  * (/root/reference/src/edu/stanford/nlp/sequences/SeqClassifierFlags.java:686-733):
+  * useNGrams+noMidNGrams, usePrev, useNext, useWordPairs, wordShape=dan2UseLC,
+  * useTypeSeqs, useTypeSeqs2, useTypeySequences, useLastRealWord,
+  * useNextRealWord, useDisjunctive(width 4), useSequences+usePrevSequences,
+  * useLongSequences, useBoundarySequences, maxLeft=2 (windowSize 3).
+  *
+  * Template strings follow /root/reference/src/edu/stanford/nlp/ie/NERFeatureFactory.java
+  * (featuresC :748-1290, featuresCpC :1503-1580, featuresCpCp2C :1790-1835) byte
+  * for byte, including two quirks of the reference that matter at document
+  * boundaries where the padding token has no shape annotation:
+  *   - featuresC and featuresCpCp2C read shapes via `get` (null -> the literal
+  *     string "null" under Java string concatenation);
+  *   - featuresCpC reads shapes via `getString` (null -> "").
+  * DistSim is off, so the DistSim-valued CpC templates degenerate to constants
+  * over the empty string, as in the reference.
+  *
+  * Clique-group layout (FeatureFactory.getCliques + makeDatum,
+  * CRFClassifier.java:538-575): group 0 = C (suffix "|C"), group 1 = CpC
+  * ("|CpC"), group 2 = Cp2C + CpCp2C ("|CpCp2C"; Cp2C contributes nothing
+  * under this preset). Each group is de-duplicated (the reference collects
+  * into a HashSet per clique call).
+  */
+object NerFeatures {
+
+  /** Preprocessed token view: `word` is the timex-fixed word, `shape` its
+    * dan2UseLC shape computed on the original word; null shape = pad token.
+    */
+  final case class Tok(word: String, shape: String)
+  val Pad: Tok = Tok("", null)
+
+  val WindowSize = 3
+  val Boundary = "*BOUNDARY*"
+
+  @inline private def shapeGet(t: Tok): String = if (t.shape == null) "null" else t.shape
+  @inline private def shapeGetString(t: Tok): String = if (t.shape == null) "" else t.shape
+
+  /** Features for all clique groups at `loc`. Returns one array of suffixed,
+    * de-duplicated feature strings per group (length = WindowSize).
+    */
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int): Array[Array[String]] = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
+    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
+    val nt = at(loc + 1); val n2 = at(loc + 2)
+    val cWord = c.word; val pWord = p.word; val nWord = nt.word
+    val cShape = shapeGetString(c)
+
+    // ---- group 0: C ----
+    val g0 = new java.util.LinkedHashSet[String]()
+    // useNGrams + noMidNGrams: all substrings of <word> touching an end, len >= 2
+    // (NERFeatureFactory.java:1173-1209; maxNGramLeng unset = -1)
+    val w = "<" + cWord + ">"
+    val L = w.length
+    var i = 0
+    while (i < L) {
+      var j = i + 2
+      while (j <= L) {
+        if (i == 0 || j == L) g0.add("#" + w.substring(i, j) + "#|C")
+        j += 1
+      }
+      i += 1
+    }
+    g0.add(pWord + "-PW|C")                                   // usePrev (:963)
+    g0.add(nWord + "-NW|C")                                   // useNext (:980)
+    g0.add(cWord + "-" + pWord + "-W-PW|C")                   // useWordPairs (:1002)
+    g0.add(cWord + "-" + nWord + "-W-NW|C")
+    // wordShape + useTypeSeqs (:1234-1247); pShape/nShape via get -> "null" pads
+    val pShapeG = shapeGet(p); val nShapeG = shapeGet(nt)
+    g0.add(cShape + "-TYPE|C")
+    g0.add(pShapeG + "-PTYPE|C")
+    g0.add(nShapeG + "-NTYPE|C")
+    g0.add(pWord + "..." + cShape + "-PW_CTYPE|C")
+    g0.add(cShape + "..." + nWord + "-NW_CTYPE|C")
+    g0.add(pShapeG + "..." + cShape + "-PCTYPE|C")
+    g0.add(cShape + "..." + nShapeG + "-CNTYPE|C")
+    g0.add(pShapeG + "..." + cShape + "..." + nShapeG + "-PCNTYPE|C")
+    if (pWord.length <= 3)                                    // useLastRealWord (:1249)
+      g0.add(p2.word + "..." + cShape + "-PPW_CTYPE|C")
+    if (nWord.length <= 3)                                    // useNextRealWord (:1256)
+      g0.add(n2.word + "..." + cShape + "-NNW_CTYPE|C")
+    var d = 1                                                  // useDisjunctive w=4 (:1267)
+    while (d <= 4) {
+      g0.add(at(loc + d).word + "-DISJN|C")
+      g0.add(at(loc - d).word + "-DISJP|C")
+      d += 1
+    }
+
+    // ---- group 1: CpC (CnC inactive: useNextSequences off) ----
+    val g1 = new java.util.LinkedHashSet[String]()
+    val pShapeS = shapeGetString(p)
+    // useSequences + usePrevSequences (:1545-1561); DistSim strings are ""
+    g1.add("PSEQ|CpC")
+    g1.add(cWord + "-PSEQW|CpC")
+    g1.add(pWord + "-" + cWord + "-PSEQW2|CpC")
+    g1.add(pWord + "-PSEQpW|CpC")
+    g1.add("-PSEQpDS|CpC")
+    g1.add("-PSEQcDS|CpC")
+    g1.add("--PSEQpcDS|CpC")
+    g1.add(pShapeS + "-PSEQpS|CpC")
+    g1.add(cShape + "-PSEQcS|CpC")
+    g1.add(pShapeS + "-" + cShape + "-PSEQpcS|CpC")
+    g1.add(pShapeS + "-" + cShape + "-TYPES|CpC")             // useTypeSeqs2 (:1571)
+    g1.add(shapeGet(c) + "-TPS2|CpC")                         // useTypeySequences (:1576)
+    g1.add(shapeGet(nt) + "-TNS1|CpC")
+
+    // ---- group 2: Cp2C (empty under preset) + CpCp2C ----
+    val g2 = new java.util.LinkedHashSet[String]()
+    g2.add("PPSEQ|CpCp2C")                                    // useLongSequences (:1796)
+    if (pWord == Boundary) g2.add("BNDRY-SPAN-PPSEQ|CpCp2C")  // useBoundarySequences (:1799)
+    g2.add(shapeGet(p2) + "-" + shapeGet(p) + "-" + shapeGet(c) + "-TYPETYPES|CpCp2C") // (:1827)
+
+    Array(g0.toArray(new Array[String](g0.size)),
+          g1.toArray(new Array[String](g1.size)),
+          g2.toArray(new Array[String](g2.size)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ner
+
+import graft.core.Crf
+import graft.text.{RawToken, WordShape}
+import graft.train.WeightLayout
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import scala.collection.mutable
+
+/** A trained NER model bundle: label dictionary, feature dictionary, clique
+  * layout, weights, and corpus-derived known-lowercase words.
+  * (Reference bundle contents: CRFClassifier serialization order,
+  * /root/reference/src/edu/stanford/nlp/ie/crf/CRFClassifier.java:1548-1560.)
+  *
+  * Broadcast once per Spark job; all lookups inside partition-local closures.
+  */
+final class NerModel(
+    val classIndex: Array[String], // classIndex(backgroundIndex) = "O"
+    val backgroundIndex: Int,
+    val featureIndex: java.util.HashMap[String, Integer],
+    val layout: WeightLayout,
+    val weights: Array[Array[Double]],
+    val knownLC: Set[String]
+) extends Serializable {
+
+  @transient lazy val params: Crf.Params =
+    new Crf.Params(classIndex.length, layout.windowSize, backgroundIndex, layout.weightCol, weights)
+
+  val classOf: Map[String, Int] = classIndex.zipWithIndex.toMap
+
+  /** Preprocess raw token words: shape from the ORIGINAL word (with frozen
+    * knownLCWords), then timex word fix — matching ObjectBankWrapper.doBasicStuff
+    * ordering (ObjectBankWrapper.java:131-155).
+    */
+  def preprocess(words: IndexedSeq[String]): IndexedSeq[NerFeatures.Tok] =
+    words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains)))
+
+  /** Encode a preprocessed document; features unseen at train time are dropped
+    * (reference semantic: CRFClassifier.java:200-207).
+    */
+  def encode(toks: IndexedSeq[NerFeatures.Tok]): Crf.EncodedDoc = {
+    val n = toks.length
+    val out = new Array[Array[Array[Int]]](n)
+    var pos = 0
+    while (pos < n) {
+      val byGroup = NerFeatures.featuresAt(toks, pos)
+      out(pos) = byGroup.map { feats =>
+        val ids = new mutable.ArrayBuilder.ofInt
+        var k = 0
+        while (k < feats.length) {
+          val id = featureIndex.get(feats(k))
+          if (id != null) ids += id.intValue
+          k += 1
+        }
+        ids.result()
+      }
+      pos += 1
+    }
+    out
+  }
+
+  /** Viterbi-tag one document of raw words; returns a label per token. */
+  def tag(words: IndexedSeq[String]): Array[String] = {
+    if (words.isEmpty) return Array.empty
+    val enc = encode(preprocess(words))
+    val pots = Crf.logPotentials(enc, params)
+    Crf.viterbi(pots, params).map(classIndex)
+  }
+
+  def numFeatures: Int = featureIndex.size
+}
+
+object NerModel {
+
+  /** Gzip text serialization (our v1 format; the reference-text-format bridge
+    * loader mirrors CRFClassifier.loadTextClassifier and lands in a later
+    * milestone). One section per line-group, tab-separated.
+    */
+  def save(m: NerModel, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(Files.newOutputStream(p)), "UTF-8"))
+    try {
+      w.write(s"graft-ner-v1\t${m.classIndex.length}\t${m.layout.windowSize}\t${m.backgroundIndex}\n")
+      w.write(m.classIndex.mkString("\t")); w.write("\n")
+      // feature index sorted by id; group + weight row inline
+      val inv = new Array[String](m.featureIndex.size)
+      m.featureIndex.forEach((k, v) => inv(v.intValue) = k)
+      w.write(s"${inv.length}\n")
+      var f = 0
+      while (f < inv.length) {
+        w.write(inv(f)); w.write("\t")
+        w.write(m.layout.featGroup(f).toString); w.write("\t")
+        w.write(m.weights(f).mkString(" ")); w.write("\n")
+        f += 1
+      }
+      w.write(s"${m.knownLC.size}\n")
+      m.knownLC.toSeq.sorted.foreach { s => w.write(s); w.write("\n") }
+    } finally w.close()
+  }
+
+  def load(path: String): NerModel = {
+    val r = new BufferedReader(new InputStreamReader(
+      new GZIPInputStream(Files.newInputStream(Paths.get(path))), "UTF-8"))
+    try {
+      val header = r.readLine().split("\t")
+      require(header(0) == "graft-ner-v1", s"bad model header: ${header(0)}")
+      val numClasses = header(1).toInt
+      val windowSize = header(2).toInt
+      val backgroundIndex = header(3).toInt
+      val classIndex = r.readLine().split("\t")
+      require(classIndex.length == numClasses)
+      val nFeat = r.readLine().toInt
+      val featureIndex = new java.util.HashMap[String, Integer](nFeat * 2)
+      val featGroup = new Array[Int](nFeat)
+      val weights = new Array[Array[Double]](nFeat)
+      var f = 0
+      while (f < nFeat) {
+        val line = r.readLine()
+        val t1 = line.lastIndexOf('\t')
+        val t0 = line.lastIndexOf('\t', t1 - 1)
+        featureIndex.put(line.substring(0, t0), Integer.valueOf(f))
+        featGroup(f) = line.substring(t0 + 1, t1).toInt
+        weights(f) = line.substring(t1 + 1).split(" ").map(_.toDouble)
+        f += 1
+      }
+      val nLC = r.readLine().toInt
+      val knownLC = (0 until nLC).map(_ => r.readLine()).toSet
+      val layout = WeightLayout.fullProduct(numClasses, windowSize, backgroundIndex, featGroup)
+      new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC)
+    } finally r.close()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.core
+
+import graft.train.{CrfObjective, WeightLayout}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Core CRF math vs brute-force enumeration (the reference validates the same
+  * algebra with ad-hoc mains: FactorTable.java:443-520 and the hand-built
+  * Viterbi fixture in ExactBestSequenceFinder.java:21-86; we enumerate instead).
+  */
+class CrfSpec extends AnyFunSuite {
+
+  private def mkRandom(seed: Long, numClasses: Int, windowSize: Int, nFeat: Int, docLen: Int) = {
+    val rng = new scala.util.Random(seed)
+    val featGroup = Array.tabulate(nFeat)(_ => rng.nextInt(windowSize))
+    val layout = WeightLayout.fullProduct(numClasses, windowSize, 0, featGroup)
+    val flat = Array.fill(layout.totalSize)(rng.nextGaussian() * 0.7)
+    // random active features per position per group (only of that group)
+    val byGroup = Array.tabulate(windowSize)(g => (0 until nFeat).filter(f => featGroup(f) == g).toArray)
+    val doc: Crf.EncodedDoc = Array.tabulate(docLen) { _ =>
+      Array.tabulate(windowSize) { g =>
+        val pool = byGroup(g)
+        if (pool.isEmpty) Array.emptyIntArray
+        else Array.fill(1 + rng.nextInt(3))(pool(rng.nextInt(pool.length))).distinct
+      }
+    }
+    val labels = Array.fill(docLen)(rng.nextInt(numClasses))
+    (layout, flat, doc, labels)
+  }
+
+  private def bruteScores(doc: Crf.EncodedDoc, p: Crf.Params): Map[Seq[Int], Double] = {
+    val n = doc.length
+    val pots = Crf.logPotentials(doc, p)
+    def allSeqs(len: Int): Seq[Seq[Int]] =
+      if (len == 0) Seq(Seq.empty)
+      else for (s <- allSeqs(len - 1); c <- 0 until p.numClasses) yield s :+ c
+    allSeqs(n).map { seq =>
+      val arr = seq.toArray
+      var s = 0.0
+      for (pos <- 0 until n) s += pots(pos)(Crf.windowEnc(arr, pos, p))
+      seq -> s
+    }.toMap
+  }
+
+  test("forwardBackward logZ and marginals match enumeration") {
+    for (seed <- 1 to 5; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val (layout, flat, doc, _) = mkRandom(seed, c, w, nFeat = 12, docLen = 5)
+      val p = layout.params(flat)
+      val scores = bruteScores(doc, p)
+      val logZ = math.log(scores.values.map(math.exp).sum)
+      val cal = Crf.forwardBackward(Crf.logPotentials(doc, p), p)
+      assert(math.abs(cal.logZ - logZ) < 1e-9, s"logZ seed=$seed c=$c w=$w")
+      // marginal of full window at each position
+      for (pos <- doc.indices; enc <- 0 until p.fullSize) {
+        val expect = scores.collect {
+          case (seq, s) if Crf.windowEnc(seq.toArray, pos, p) == enc => math.exp(s - logZ)
+        }.sum
+        val got = math.exp(cal.logMarginals(pos)(enc)) // exp(-inf) = 0
+        assert(math.abs(got - expect) < 1e-9, s"marginal pos=$pos enc=$enc seed=$seed c=$c w=$w")
+      }
+    }
+  }
+
+  test("viterbi matches argmax enumeration") {
+    for (seed <- 1 to 8; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val (layout, flat, doc, _) = mkRandom(seed * 31, c, w, nFeat = 15, docLen = 6)
+      val p = layout.params(flat)
+      val scores = bruteScores(doc, p)
+      val best = scores.maxBy(_._2)
+      val got = Crf.viterbi(Crf.logPotentials(doc, p), p)
+      val gotScore = scores(got.toSeq)
+      assert(math.abs(gotScore - best._2) < 1e-9, s"viterbi seed=$seed c=$c w=$w: got $gotScore want ${best._2}")
+    }
+  }
+
+  test("analytic gradient matches finite differences") {
+    // mirrors the reference's StochasticDiffFunctionTester gradient check
+    // (CRFClassifier.java:1077-1087)
+    val (layout, flat, doc, labels) = mkRandom(7, 3, 3, nFeat = 10, docLen = 5)
+    val eps = 1e-6
+    def value(x: Array[Double]): Double = {
+      val g = new Array[Double](layout.totalSize)
+      CrfObjective.docValueGrad(doc, labels, layout.params(x), layout, g)
+    }
+    val grad = new Array[Double](layout.totalSize)
+    CrfObjective.docValueGrad(doc, labels, layout.params(flat), layout, grad)
+    for (i <- 0 until layout.totalSize by 7) { // sample every 7th param
+      val xp = flat.clone(); xp(i) += eps
+      val xm = flat.clone(); xm(i) -= eps
+      val fd = (value(xp) - value(xm)) / (2 * eps)
+      assert(math.abs(fd - grad(i)) < 1e-4, s"grad[$i]: fd=$fd analytic=${grad(i)}")
+    }
+  }
+
+  test("empty and single-token documents") {
+    val (layout, flat, _, _) = mkRandom(3, 3, 3, nFeat = 6, docLen = 1)
+    val p = layout.params(flat)
+    assert(Crf.viterbi(Array.empty, p).isEmpty)
+    val doc1: Crf.EncodedDoc = Array(Array(Array(0), Array.emptyIntArray, Array.emptyIntArray))
+    val tags = Crf.viterbi(Crf.logPotentials(doc1, p), p)
+    assert(tags.length == 1)
+    val cal = Crf.forwardBackward(Crf.logPotentials(doc1, p), p)
+    val total = (0 until p.fullSize).map(e => math.exp(cal.logMarginals(0)(e))).sum
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+}
