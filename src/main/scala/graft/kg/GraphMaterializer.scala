@@ -1,0 +1,98 @@
+package graft.kg
+
+import graft.pipeline.Triple
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Materializes the knowledge graph as partitioned node/edge tables with
+  * per-stage lineage for exact resume (north rule). In production the sinks
+  * are Iceberg tables (`partitionedBy(etype, bucket(n, entity_id))`); the
+  * sandbox writes the same layout as parquet with an explicit bucket column
+  * (no Iceberg runtime jar ships in this image).
+  *
+  * Resume contract: each stage writes `_lineage/<stage>.json` containing the
+  * input fingerprint and row count AFTER its table write succeeds; re-running
+  * with the same fingerprint skips the stage (checked by `Lineage.shouldRun`),
+  * so a killed job redoes only unfinished stages and the output is identical.
+  */
+object GraphMaterializer {
+
+  object Lineage {
+    def path(outDir: String, stage: String) = Paths.get(outDir, "_lineage", s"$stage.json")
+
+    def record(outDir: String, stage: String, fingerprint: String, rows: Long): Unit = {
+      val p = path(outDir, stage)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p,
+        s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows,"ts":${System.currentTimeMillis()}}""")
+    }
+
+    def shouldRun(outDir: String, stage: String, fingerprint: String): Boolean = {
+      val p = path(outDir, stage)
+      !(Files.exists(p) && Files.readString(p).contains(s""""fingerprint":"$fingerprint""""))
+    }
+  }
+
+  final case class Config(nodeBuckets: Int = 16, edgeBuckets: Int = 16)
+
+  /** Write nodes + edges; returns (nodes, edges) DataFrames (also persisted).
+    *
+    * @param linked output of EntityLink.link
+    * @param fingerprint identifies the input snapshot (e.g. seed + scale)
+    */
+  def materialize(
+      triples: Dataset[Triple],
+      linked: DataFrame,
+      outDir: String,
+      fingerprint: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    val nodes = linked
+      .groupBy($"entity_id", $"etype")
+      .agg(
+        sum($"n_mentions").as("n_mentions"),
+        max(struct($"n_mentions".as("c"), $"canonical_surface".as("s"))).getField("s").as("canonical_surface"),
+        count(lit(1)).as("n_surfaces"))
+      .withColumn("bucket", pmod(hash($"entity_id"), lit(cfg.nodeBuckets)))
+
+    if (Lineage.shouldRun(outDir, "nodes", fingerprint)) {
+      nodes.write.mode(SaveMode.Overwrite)
+        .partitionBy("etype", "bucket")
+        .parquet(s"$outDir/nodes")
+      Lineage.record(outDir, "nodes", fingerprint, nodes.count())
+    }
+
+    // surface -> entity map is vocabulary-sized: broadcast it into both joins
+    // so the triple stream itself is never shuffled.
+    val surfMap = broadcast(
+      linked.select($"etype", $"surface", $"entity_id", $"canonical_surface"))
+
+    val edges = triples.toDF()
+      .join(surfMap
+          .withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
+          .withColumnRenamed("entity_id", "subj_id").withColumnRenamed("canonical_surface", "subj_canonical"),
+        Seq("subj_type", "subj"))
+      .join(surfMap
+          .withColumnRenamed("etype", "obj_type").withColumnRenamed("surface", "obj")
+          .withColumnRenamed("entity_id", "obj_id").withColumnRenamed("canonical_surface", "obj_canonical"),
+        Seq("obj_type", "obj"))
+      .groupBy($"subj_id", $"pred", $"obj_id")
+      .agg(
+        count(lit(1)).as("weight"),
+        first($"subj_canonical").as("subj_canonical"),
+        first($"obj_canonical").as("obj_canonical"),
+        min($"conv_id").as("sample_conv_id"))
+      .withColumn("bucket", pmod(hash($"subj_id"), lit(cfg.edgeBuckets)))
+
+    if (Lineage.shouldRun(outDir, "edges", fingerprint)) {
+      edges.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$outDir/edges")
+      Lineage.record(outDir, "edges", fingerprint, edges.count())
+    }
+    (nodes, edges)
+  }
+}

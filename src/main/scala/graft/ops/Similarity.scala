@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exactness baseline (pure column algebra:
+  * zip_with + aggregate, codegen'd, no UDF); the LSH-bucketed variant is the
+  * scale path — at 10^9+ vectors the cross product is replaced by a
+  * bucket-equi-join that touches only candidate pairs. Recall of the LSH path
+  * vs brute force is asserted in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * with a fixed left-to-right fold so the result is bit-deterministic and
+    * reproducible by the DuckDB oracle.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for the query subset
+    * `vec_id % queryMod == 0`. The query side is broadcast (it is tiny by
+    * construction); the big side streams — one pass, no shuffle of the corpus.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val q = embeddings.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH signature (sign bits of dot products with
+    * `nBits` deterministic pseudo-random hyperplanes).
+    */
+  def rhpSignature(emb: Array[Float], nBits: Int, seed: Long = 0xb175L): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < emb.length) {
+        // deterministic pseudo-gaussian weight for (bit, dim)
+        val h = Hashing.splitmix64(seed ^ (b.toLong << 32) ^ i.toLong)
+        dot += emb(i) * ((h >> 11).toDouble / (1L << 52).toDouble) // in (-1, 1)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** ANN top-k via RHP-LSH: bucket on the signature's 4 chunks, search only
+    * within shared buckets, then exact cosine + rank. Output schema matches
+    * bruteForceTopK so recall can be measured by joining the two.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50, nBits: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sigUdf = udf((e: Seq[Float]) => rhpSignature(e.toArray, nBits))
+    val sigs = embeddings.withColumn("sig", sigUdf(col("embedding")))
+    val nChunks = 4
+    val chunkBits = nBits / nChunks
+    val mask = (1L << chunkBits) - 1
+    val chunked = sigs.select(col("vec_id"), col("embedding"), col("sig"),
+      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
+      .withColumn("key", expr(s"shiftright(sig, chunk * $chunkBits) & $mask"))
+    val q = chunked.where(col("vec_id") % queryMod === 0)
+      .select(col("chunk"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cand = chunked.join(broadcast(q), Seq("chunk", "key"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** All pairs with cosine >= tau (near-duplicate embeddings). Brute at sf
+    * scale; swap the cross join for the LSH bucket join at production scale.
+    */
+  def cosinePairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("vec_id_1"), col("embedding").as("e1"))
+    val r = embeddings.select(col("vec_id").as("vec_id_2"), col("embedding").as("e2"))
+    l.join(broadcast(r), col("vec_id_1") < col("vec_id_2"))
+      .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
+      .where(col("sim") >= tau)
+      .select(col("vec_id_1"), col("vec_id_2"), col("sim"))
+  }
+}

@@ -103,22 +103,22 @@ object Trainer {
     val diff = new DiffFunction[DenseVector[Double]] {
       def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
         val bw = sc.broadcast(x.data)
-        val (value, grad) = encoded.rdd.treeAggregate((0.0, null: Array[Double]))(
-          seqOp = { case ((v, g0), (doc, lab)) =>
-            val lay = bLayout.value
-            val g = if (g0 == null) new Array[Double](lay.totalSize) else g0
-            val p = lay.params(bw.value)
-            val dv = CrfObjective.docValueGrad(doc, lab, p, lay, g)
-            (v + dv, g)
-          },
-          combOp = { case ((v1, g1), (v2, g2)) =>
-            if (g1 == null) (v1 + v2, g2)
-            else if (g2 == null) (v1 + v2, g1)
-            else {
-              var i = 0
-              while (i < g1.length) { g1(i) += g2(i); i += 1 }
-              (v1 + v2, g1)
-            }
+        // locals only: referencing the enclosing DiffFunction's fields from the
+        // task closures would pull this (non-serializable) object into the task
+        val layoutRef = bLayout
+        val partials = encoded.rdd.mapPartitions { it =>
+          val lay = layoutRef.value
+          val p = lay.params(bw.value) // ragged view built once per partition
+          val g = new Array[Double](lay.totalSize)
+          var v = 0.0
+          it.foreach { case (doc, lab) => v += CrfObjective.docValueGrad(doc, lab, p, lay, g) }
+          Iterator.single((v, g))
+        }
+        val (value, grad) = partials.treeReduce(
+          { case ((v1, g1), (v2, g2)) =>
+            var i = 0
+            while (i < g1.length) { g1(i) += g2(i); i += 1 }
+            (v1 + v2, g1)
           },
           depth = 2)
         bw.destroy()

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashingSpec extends AnyFunSuite {
+  test("minhash similarity estimates jaccard") {
+    val rng = new scala.util.Random(5)
+    for (_ <- 1 to 10) {
+      val base = Set.fill(200)(rng.nextLong())
+      val keep = base.filter(_ => rng.nextDouble() < 0.7)
+      val b = keep ++ Set.fill(60)(rng.nextLong())
+      val trueJ = Hashing.jaccard(base, b)
+      val sa = Hashing.minHash(base, 128)
+      val sb = Hashing.minHash(b, 128)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+      assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("simhash of similar sets has small hamming distance") {
+    val rng = new scala.util.Random(9)
+    val base = Set.fill(300)(rng.nextLong())
+    val near = base.take(290).toSet ++ Set.fill(10)(rng.nextLong())
+    val far = Set.fill(300)(rng.nextLong())
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Hashing.simHash(base), Hashing.simHash(near)) < 12)
+    assert(ham(Hashing.simHash(base), Hashing.simHash(far)) > 30)
+    assert(Hashing.simHash(base) == Hashing.simHash(base)) // deterministic
+  }
+
+  test("shingles and fingerprints are deterministic") {
+    assert(Hashing.charShingles("alice johnson", 3) == Hashing.charShingles("alice johnson", 3))
+    assert(Hashing.wordShingles("a b c d", 2).size == 3)
+    assert(Hashing.rollingFingerprint("abc") == ('a' * 31L + 'b') * 31L + 'c')
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("exact dedup marks exactly one keeper per group and covers all docs") {
+    val res = Dedup.exact(docs).cache()
+    assert(res.count() == docs.count())
+    val bad = res.groupBy("dup_key")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+      .where(col("keepers") =!= 1).count()
+    assert(bad == 0)
+  }
+
+  test("minhash pairs match exact ngram-jaccard pairs at tau=0.5") {
+    val tau = 0.5
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, tau = tau, maxShingleFreq = 10000)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashPairs(docs, n = 3, tau = tau)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash candidates are verified with exact jaccard -> precision 1.0
+    assert(mh.subsetOf(exact), s"false positives: ${mh -- exact}")
+    // recall: banding (16 bands x 4 rows) at j>=0.5 catches nearly all
+    if (exact.nonEmpty) {
+      val recall = (mh intersect exact).size.toDouble / exact.size
+      info(s"minhash recall=$recall over ${exact.size} true pairs")
+      assert(recall >= 0.9, s"recall $recall")
+    } else info("no pairs above tau at this sf (both sides empty)")
+  }
+
+  test("simhash pairs are symmetric-free and hamming-bounded") {
+    val res = Dedup.simHashPairs(docs, maxHamming = 10).collect()
+    assert(res.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(res.forall(r => r.getLong(2) <= 10))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("brute-force top-k: k rows per query, ranks 1..k, sims descending") {
+    val res = Similarity.bruteForceTopK(emb, k = 5, queryMod = 50).cache()
+    val q = emb.where(col("vec_id") % 50 === 0).count()
+    assert(res.count() == q * 5)
+    val perQuery = res.groupBy("query_id").agg(
+      collect_list(struct(col("rank"), col("sim"))).as("l")).collect()
+    for (r <- perQuery) {
+      val l = r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getInt(0))
+      assert(l.map(_.getInt(0)) == (1 to l.size))
+      val sims = l.map(_.getDouble(1))
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k has decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryMod = 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, k = 5, queryMod = 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    info(s"LSH ANN recall@5 = $recall")
+    assert(recall >= 0.5, s"recall $recall too low") // 16-bit RHP on 64-dim: moderate bar
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("batched decode stub: deterministic, schema-complete, batch-shaped") {
+    val media = Multimodal.withPayload(docs)
+    val a = Multimodal.decode(media, batchSize = 7).collect().sortBy(_.doc_id)
+    val b = Multimodal.decode(media, batchSize = 64).collect().sortBy(_.doc_id)
+    assert(a.length == docs.count())
+    assert(a.map(_.doc_id).toSeq == b.map(_.doc_id).toSeq)
+    // batch size must not change results (pure per-row fake decoder)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.width == y.width && x.height == y.height && x.feature.toSeq == y.feature.toSeq })
+    assert(a.forall(r => r.feature.length == 8 && r.width >= 16 && r.n_bytes > 0))
+    assert(a.forall(r => Set("image", "audio", "video").contains(r.media_type)))
+  }
+}
