@@ -62,21 +62,26 @@ object Similarity {
     sig
   }
 
-  /** ANN top-k via RHP-LSH: bucket on the signature's 4 chunks, search only
-    * within shared buckets, then exact cosine + rank. Output schema matches
-    * bruteForceTopK so recall can be measured by joining the two.
+  /** ANN top-k via multi-table RHP-LSH (Indyk-Motwani style): `nTables`
+    * independent `bitsPerTable`-bit signatures; a vector is a candidate for a
+    * query if they share the FULL key in ANY table. Exact cosine + rank on the
+    * candidates only. Output schema matches bruteForceTopK so recall can be
+    * measured by joining the two. Recall/candidate-budget tradeoff is governed
+    * by (nTables, bitsPerTable); with near-random corpora (top-k cosine ~0.33
+    * in the synthetic embeddings) no sublinear method recalls well — the
+    * planted-neighbor test in SimilaritySpec measures the honest regime.
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50, nBits: Int = 16): DataFrame = {
+  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
+      nTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sigUdf = udf((e: Seq[Float]) => rhpSignature(e.toArray, nBits))
-    val sigs = embeddings.withColumn("sig", sigUdf(col("embedding")))
-    val nChunks = 4
-    val chunkBits = nBits / nChunks
-    val mask = (1L << chunkBits) - 1
-    val chunked = sigs.select(col("vec_id"), col("embedding"), col("sig"),
-      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
-      .withColumn("key", expr(s"shiftright(sig, chunk * $chunkBits) & $mask"))
+    val keysUdf = udf((e: Seq[Float]) => {
+      val a = e.toArray
+      (0 until nTables).map(t => rhpSignature(a, bitsPerTable, seed = 0xb175L + 7919L * t))
+    })
+    val chunked = embeddings.select(col("vec_id"), col("embedding"),
+        posexplode(keysUdf(col("embedding")))) // (pos=table, col=key)
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     val q = chunked.where(col("vec_id") % queryMod === 0)
       .select(col("chunk"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cand = chunked.join(broadcast(q), Seq("chunk", "key"))
