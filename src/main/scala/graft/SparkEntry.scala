@@ -1,13 +1,383 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.kg.{ConnectedComponents, EntityLink, KgPipeline}
+import graft.ner.{NerModels, Tagger}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Transcripts
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator (SURVEY.md
+  * §2 + the training-data-pipeline operators), with a DuckDB-equivalent
+  * `oracleSql` for every SQL-expressible one. Conventions for oracle parity:
+  * counts CAST to BIGINT, inexact float aggregates rounded (sums of 2-decimal
+  * money to 2 dp; similarity scores computed in double with identical fold
+  * order), group keys rendered as strings where engines differ on temporal
+  * types, and every query deterministic under any partitioning.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Conversation count scales with the sf directory (sandbox stand-in for
+    * the 10^12-turn Iceberg table).
+    */
+  def nConvs(dir: String): Long = {
+    val sfStr = dir.split("sf").last.takeWhile(c => c.isDigit || c == '.')
+    val sf = if (sfStr.nonEmpty) sfStr.toDouble else 0.001
+    math.max(200L, (sf * 200000).toLong)
+  }
+
+  private def turns(s: SparkSession, dir: String) = Transcripts.synth(s, nConvs(dir))
+
+  val TokPat = "[a-z0-9]+|[^a-z0-9\\s]"
+  private def toks(c: Column) = regexp_extract_all(lower(c), lit(TokPat), lit(0))
+
+  /** Flagship: the full KG pipeline (tag → mentions → triples) on sf0.001-scale
+    * synthetic transcripts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val model = NerModels.default(spark)
+    KgPipeline.triples(Transcripts.synth(spark, 200L), model).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== relational layer (SURVEY.md §2.6 Spark-primitive checklist) =====
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued: exact
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q03_top_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q04_running_supplier_revenue" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice")).over(w), 2).as("running_revenue"))
+    }),
+    "q05_customer_activity" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+    }),
+    "q06_rollup_status" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"), col("sum_qty"))
+    }),
+    "q07_setops_custkeys" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.distinct().exceptAll(y96.distinct()).withColumnRenamed("o_custkey", "custkey")
+    }),
+    "q08_sessionize_events" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp_ltz").cast("long") -
+              col("prev_ts").cast("timestamp_ltz").cast("long") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q09_json_props" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+    "q10_daily_events" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // ===== text layer =====
+    "q11_tokens" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    }),
+    "q12_token_stats" -> ((s, d) => {
+      val tk = toks(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, x => x.rlike("^[a-z]+$"))).as("n_alpha"),
+        length(col("text")).as("n_chars"),
+        aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+    }),
+    "q13_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    "q14_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "q15_dict_tag" -> ((s, d) => {
+      val gazette = Seq(("join", "OP"), ("merge", "OP"), ("filter", "OP"), ("scan", "OP"),
+        ("spark", "SYS"), ("customer", "ENT"), ("table", "ENT")).toDF(s)("word", "tag")
+      t(s, d, "documents").select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .join(broadcast(gazette), Seq("word"))
+        .select(col("doc_id"), col("word"), col("tag"))
+    }),
+
+    // ===== dedup =====
+    "q16_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "q17_dedup_prefix" -> ((s, d) => Dedup.prefixKey(t(s, d, "documents"), k = 2)),
+    "q18_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, tau = 0.5, maxShingleFreq = Int.MaxValue)),
+    "q19_dup_components" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, tau = 0.5,
+        maxShingleFreq = Int.MaxValue)
+        .select(col("doc_id_1"), col("doc_id_2")).as[(Long, Long)]
+      ConnectedComponents.run(pairs)
+    }),
+    "q20_dedup_minhash" -> ((s, d) => Dedup.minHashPairs(t(s, d, "documents"), n = 3, tau = 0.5)),
+    "q21_dedup_simhash" -> ((s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 8)),
+
+    // ===== similarity search =====
+    "q22_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
+    "q23_knn_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
+    "q24_embed_pairs" -> ((s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), tau = 0.4)),
+
+    // ===== streaming semantics (batch-equivalent; streaming path in StreamingSpec) =====
+    "q25_windowed_events" -> ((s, d) => {
+      StreamingIngest.windowedEventCounts(t(s, d, "events"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // ===== NER / KG pipeline (no SQL equivalent -> rows-only checks) =====
+    "q30_ner_tags" -> ((s, d) => Tagger.tagTurns(turns(s, d), NerModels.default(s)).toDF()),
+    "q31_mentions" -> ((s, d) => Tagger.mentions(turns(s, d), NerModels.default(s)).toDF()),
+    "q32_triples" -> ((s, d) => KgPipeline.triples(turns(s, d), NerModels.default(s)).toDF()),
+    "q33_entity_link" -> ((s, d) =>
+      EntityLink.link(Tagger.mentions(turns(s, d), NerModels.default(s)))),
+    "q34_graph_nodes" -> ((s, d) => {
+      val linked = EntityLink.link(Tagger.mentions(turns(s, d), NerModels.default(s)))
+      linked.groupBy(col("entity_id"), col("etype"))
+        .agg(sum(col("n_mentions")).as("n_mentions"),
+          max(struct(col("n_mentions").as("c"), col("canonical_surface").as("s")))
+            .getField("s").as("canonical_surface"),
+          count(lit(1)).as("n_surfaces"))
+    }),
+    "q35_graph_edges" -> ((s, d) => {
+      val model = NerModels.default(s)
+      val tps = KgPipeline.triples(turns(s, d), model)
+      val linked = EntityLink.link(Tagger.mentions(turns(s, d), model))
+      val surfMap = broadcast(linked.select(col("etype"), col("surface"), col("entity_id")))
+      tps.toDF()
+        .join(surfMap.withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
+          .withColumnRenamed("entity_id", "subj_id"), Seq("subj_type", "subj"))
+        .join(surfMap.withColumnRenamed("etype", "obj_type").withColumnRenamed("surface", "obj")
+          .withColumnRenamed("entity_id", "obj_id"), Seq("obj_type", "obj"))
+        .groupBy(col("subj_id"), col("pred"), col("obj_id"))
+        .agg(count(lit(1)).as("weight"))
+    }),
+
+    // ===== multimodal + fingerprints (rows-only) =====
+    "q36_multimodal_decode" -> ((s, d) =>
+      Multimodal.decode(Multimodal.withPayload(t(s, d, "documents"))).toDF()),
+    "q37_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents")))
+  )
+
+  private implicit class SeqToDF(private val rows: Seq[(String, String)]) {
+    def toDF(s: SparkSession)(c1: String, c2: String): DataFrame =
+      s.createDataFrame(rows).toDF(c1, c2)
+  }
+
+  // ---- DuckDB oracles ----
+  private val TokSql = "[a-z0-9]+|[^a-z0-9\\s]"
+  private val shinglesCte =
+    s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
+       |g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) sh FROM tok WHERE len(t) >= 3),
+       |e AS (SELECT doc_id, unnest(sh) s FROM g),
+       |sz AS (SELECT doc_id, len(sh) nsh FROM g),
+       |i AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(inter * 1.0 / (x.nsh + y.nsh - inter), 4) AS jaccard
+       |  FROM i JOIN sz x ON i.d1 = x.doc_id JOIN sz y ON i.d2 = y.doc_id
+       |  WHERE round(inter * 1.0 / (x.nsh + y.nsh - inter), 4) >= 0.5)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | max(l_extendedprice) AS max_price, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q03_top_orders_per_customer" ->
+      """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        | FROM orders) WHERE rank <= 3""".stripMargin,
+    "q04_running_supplier_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM lineitem""".stripMargin,
+    "q05_customer_activity" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS n_inactive
+        |FROM (SELECT c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order FROM customer)
+        |GROUP BY 1""".stripMargin,
+    "q06_rollup_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q07_setops_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q08_sessionize_events" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events))
+        |GROUP BY 1""".stripMargin,
+    "q09_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q10_daily_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q11_tokens" ->
+      s"""SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokSql')) AS token FROM documents""",
+    "q12_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len(tk) AS INT) AS n_tokens,
+         | CAST(len(list_filter(tk, x -> regexp_full_match(x, '[a-z]+'))) AS INT) AS n_alpha,
+         | CAST(length(text) AS INT) AS n_chars,
+         | CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_token_len
+         |FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '$TokSql') tk FROM documents)""".stripMargin,
+    "q13_quality" ->
+      s"""SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         | round(n_stop / greatest(n_tok, 1.0), 4) AS stopword_ratio,
+         | round(n_punct / greatest(n_tok, 1.0), 4) AS punct_ratio,
+         | round(greatest(0.0, least(n_tok / 50.0, 1.0) * (1.0 - n_punct / greatest(n_tok, 1.0))
+         |   * (0.5 + least(n_stop / greatest(n_tok, 1.0) * 2.5, 0.5))), 4) AS quality
+         |FROM (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) n_tok,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','an','of','and','or','to','in','is','it','on','for','with','as','at','by','this','that'], x))) AS DOUBLE) n_stop,
+         |  CAST(len(list_filter(tk, x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE) n_punct
+         | FROM (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') tk FROM documents))""".stripMargin,
+    "q14_lang_id" ->
+      s"""SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         | CASE WHEN hits_de = mx AND mx > 0 THEN 'de'
+         |      WHEN hits_en = mx AND mx > 0 THEN 'en'
+         |      WHEN hits_es = mx AND mx > 0 THEN 'es'
+         |      WHEN hits_fr = mx AND mx > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         |  greatest(hits_de, hits_en, hits_es, hits_fr) AS mx FROM (
+         |  SELECT doc_id,
+         |   CAST(len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','zu'], x))) AS INT) AS hits_de,
+         |   CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x))) AS INT) AS hits_en,
+         |   CAST(len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','se','un','por','con'], x))) AS INT) AS hits_es,
+         |   CAST(len(list_filter(tk, x -> list_contains(['le','la','les','et','des','est','un','une','dans','pour'], x))) AS INT) AS hits_fr
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') tk FROM documents)))""".stripMargin,
+    "q15_dict_tag" ->
+      s"""WITH gazette(word, tag) AS (VALUES ('join','OP'),('merge','OP'),('filter','OP'),
+         |  ('scan','OP'),('spark','SYS'),('customer','ENT'),('table','ENT'))
+         |SELECT doc_id, word, tag
+         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokSql')) AS word FROM documents)
+         |JOIN gazette USING (word)""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT doc_id, md5(lower(text)) AS dup_key,
+        | min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_doc_id,
+        | count(*) OVER (PARTITION BY md5(lower(text))) AS group_size,
+        | doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep
+        |FROM documents""".stripMargin,
+    "q17_dedup_prefix" ->
+      s"""SELECT doc_id, dup_key, keep_doc_id, group_size FROM (
+         | SELECT doc_id, dup_key,
+         |  min(doc_id) OVER (PARTITION BY dup_key) AS keep_doc_id,
+         |  count(*) OVER (PARTITION BY dup_key) AS group_size
+         | FROM (SELECT doc_id,
+         |   md5(array_to_string(list_slice(regexp_extract_all(lower(text), '$TokSql'), 1, 2), ' ')) AS dup_key
+         |  FROM documents))
+         |WHERE group_size > 1""".stripMargin,
+    "q18_jaccard_pairs" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id_1, doc_id_2, jaccard FROM pairs""".stripMargin,
+    "q19_dup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |ed AS (SELECT doc_id_1 a, doc_id_2 b FROM pairs UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+         |walk(src, node) AS (
+         |  SELECT a, a FROM ed
+         |  UNION
+         |  SELECT w.src, ed.b FROM walk w JOIN ed ON w.node = ed.a)
+         |SELECT src AS id, min(node) AS component FROM walk GROUP BY 1""".stripMargin,
+    "q22_knn_brute" ->
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  round(list_dot_product(q.de, e.de) / (sqrt(list_dot_product(q.de, q.de)) * sqrt(list_dot_product(e.de, e.de))), 6) AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    round(list_dot_product(q.de, e.de) / (sqrt(list_dot_product(q.de, q.de)) * sqrt(list_dot_product(e.de, e.de))), 6) DESC,
+        |    e.vec_id) AS rank
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings WHERE vec_id % 50 = 0) q
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings) e ON e.vec_id != q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "q24_embed_pairs" ->
+      """SELECT vec_id_1, vec_id_2, sim FROM (
+        | SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 6) AS sim
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings) a
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings) b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4""".stripMargin,
+    "q25_windowed_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

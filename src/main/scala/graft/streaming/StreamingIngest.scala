@@ -21,7 +21,10 @@ object StreamingIngest {
   def windowedEventCounts(events: DataFrame,
       windowLen: String = "1 hour", slide: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val withWm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // watermarks require TIMESTAMP (LTZ); sources may carry TIMESTAMP_NTZ.
+    // Session timezone is UTC, so the cast is value-preserving.
+    val ltz = events.withColumn("ts", col("ts").cast("timestamp_ltz"))
+    val withWm = if (ltz.isStreaming) ltz.withWatermark("ts", watermark) else ltz
     withWm
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
