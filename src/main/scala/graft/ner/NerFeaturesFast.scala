@@ -1,0 +1,185 @@
+package graft.ner
+
+/** Allocation-free inference path for feature extraction.
+  *
+  * `NerFeatures.featuresAt` materializes ~60 strings per token position; at
+  * hundreds of thousands of turns/sec across 32 threads that allocation rate
+  * becomes the scaling bottleneck (GC/memory-bandwidth contention, measured
+  * as 0.63 N→4N efficiency in round-1 bench). For TAGGING we only need the
+  * feature's dictionary id, so this path streams the exact same template
+  * bytes through FNV-1a and probes an open-address long→id table — no
+  * strings, no sets, no boxing. Byte-identity with the string path is pinned
+  * by a property test (FeatureParitySpec); training and model serialization
+  * keep using the string path.
+  */
+object NerFeaturesFast {
+  import NerFeatures.Tok
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  @inline private def h(acc: Long, s: String): Long = {
+    var x = acc
+    var i = 0
+    while (i < s.length) { x = (x ^ s.charAt(i).toLong) * FnvPrime; i += 1 }
+    x
+  }
+  @inline private def hc(acc: Long, c: Char): Long = (acc ^ c.toLong) * FnvPrime
+  // shape via `get` semantics: null -> the literal "null"
+  @inline private def hShapeGet(acc: Long, t: Tok): Long =
+    if (t.shape == null) h(acc, "null") else h(acc, t.shape)
+  // shape via `getString` semantics: null -> ""
+  @inline private def hShapeGS(acc: Long, t: Tok): Long =
+    if (t.shape == null) acc else h(acc, t.shape)
+
+  /** Open-address long->int map (power-of-two capacity, linear probing).
+    * Empty slots marked by value == -1; key 0 is permitted.
+    */
+  final class LongIntHash(n: Int) extends Serializable {
+    private val cap = Integer.highestOneBit(math.max(8, n * 2) - 1) << 1
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = Array.fill(cap)(-1)
+
+    def put(k: Long, v: Int): Unit = {
+      var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & mask
+      while (vals(i) != -1 && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v
+    }
+    def get(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & mask
+      while (vals(i) != -1) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
+  }
+
+  /** Per-thread scratch to avoid re-allocating buffers per position.
+    * 4096 bounds the worst case (ngram features ≈ 2× token length + 30).
+    */
+  final class Scratch {
+    val hashes = new Array[Long](4096)
+    val ids = Array.ofDim[Int](3, 4096)
+  }
+
+  private val suffixC = "|C"
+  private val suffixCpC = "|CpC"
+  private val suffixCpCp2C = "|CpCp2C"
+
+  /** Compute deduplicated feature IDS per clique group at `loc`, mirroring
+    * NerFeatures.featuresAt + dictionary lookup. Unseen features (id -1) are
+    * dropped, matching CRFClassifier.java:200-207.
+    * Returns per-group arrays sliced from scratch.
+    */
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch): Array[Array[Int]] = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
+    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
+    val nt = at(loc + 1); val n2 = at(loc + 2)
+    val cWord = c.word; val pWord = p.word; val nWord = nt.word
+
+    val hb = scratch.hashes
+    var hn = 0
+    @inline def emit(x: Long): Unit = {
+      // dedup: linear scan (feature sets are small); preserves set semantics
+      var i = 0
+      var dup = false
+      while (i < hn && !dup) { if (hb(i) == x) dup = true; i += 1 }
+      if (!dup) { hb(hn) = x; hn += 1 }
+    }
+
+    // ---- group 0 ----
+    // ngrams over <word>: prefix/suffix substrings, len >= 2
+    val wLen = cWord.length + 2
+    var i0 = 0
+    while (i0 < wLen) {
+      var j = i0 + 2
+      while (j <= wLen) {
+        if (i0 == 0 || j == wLen) {
+          var x = hc(FnvOffset, '#')
+          var k = i0
+          while (k < j) {
+            val ch = if (k == 0) '<' else if (k == wLen - 1) '>' else cWord.charAt(k - 1)
+            x = hc(x, ch)
+            k += 1
+          }
+          x = hc(x, '#')
+          emit(h(x, suffixC))
+        }
+        j += 1
+      }
+      i0 += 1
+    }
+    emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
+    emit(h(h(h(FnvOffset, nWord), "-NW"), suffixC))
+    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), pWord), "-W-PW"), suffixC))
+    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), nWord), "-W-NW"), suffixC))
+    val cShapeGS = if (c.shape == null) "" else c.shape
+    emit(h(h(h(FnvOffset, cShapeGS), "-TYPE"), suffixC))
+    emit(h(h(hShapeGet(FnvOffset, p), "-PTYPE"), suffixC))
+    emit(h(h(hShapeGet(FnvOffset, nt), "-NTYPE"), suffixC))
+    emit(h(h(h(h(h(FnvOffset, pWord), "..."), cShapeGS), "-PW_CTYPE"), suffixC))
+    emit(h(h(h(h(h(FnvOffset, cShapeGS), "..."), nWord), "-NW_CTYPE"), suffixC))
+    emit(h(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "-PCTYPE"), suffixC))
+    emit(h(h(hShapeGet(h(h(FnvOffset, cShapeGS), "..."), nt), "-CNTYPE"), suffixC))
+    emit(h(h(hShapeGet(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "..."), nt), "-PCNTYPE"), suffixC))
+    if (pWord.length <= 3)
+      emit(h(h(h(h(h(FnvOffset, p2.word), "..."), cShapeGS), "-PPW_CTYPE"), suffixC))
+    if (nWord.length <= 3)
+      emit(h(h(h(h(h(FnvOffset, n2.word), "..."), cShapeGS), "-NNW_CTYPE"), suffixC))
+    var d = 1
+    while (d <= 4) {
+      emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
+      emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
+      d += 1
+    }
+    val g0n = resolve(0, dict, scratch, hn)
+
+    // ---- group 1: CpC ----
+    hn = 0
+    val pShapeGS = if (p.shape == null) "" else p.shape
+    emit(h(h(FnvOffset, "PSEQ"), suffixCpC))
+    emit(h(h(h(FnvOffset, cWord), "-PSEQW"), suffixCpC))
+    emit(h(h(h(hc(h(FnvOffset, pWord), '-'), cWord), "-PSEQW2"), suffixCpC))
+    emit(h(h(h(FnvOffset, pWord), "-PSEQpW"), suffixCpC))
+    emit(h(h(FnvOffset, "-PSEQpDS"), suffixCpC))
+    emit(h(h(FnvOffset, "-PSEQcDS"), suffixCpC))
+    emit(h(h(FnvOffset, "--PSEQpcDS"), suffixCpC))
+    emit(h(h(h(FnvOffset, pShapeGS), "-PSEQpS"), suffixCpC))
+    emit(h(h(h(FnvOffset, cShapeGS), "-PSEQcS"), suffixCpC))
+    emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-PSEQpcS"), suffixCpC))
+    emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-TYPES"), suffixCpC))
+    emit(h(h(hShapeGet(FnvOffset, c), "-TPS2"), suffixCpC))
+    emit(h(h(hShapeGet(FnvOffset, nt), "-TNS1"), suffixCpC))
+    val g1n = resolve(1, dict, scratch, hn)
+
+    // ---- group 2: CpCp2C ----
+    hn = 0
+    emit(h(h(FnvOffset, "PPSEQ"), suffixCpCp2C))
+    if (pWord == NerFeatures.Boundary) emit(h(h(FnvOffset, "BNDRY-SPAN-PPSEQ"), suffixCpCp2C))
+    emit(h(h(hShapeGet(hc(hShapeGet(hc(hShapeGet(FnvOffset, p2), '-'), p), '-'), c), "-TYPETYPES"), suffixCpCp2C))
+    val g2n = resolve(2, dict, scratch, hn)
+
+    Array(
+      java.util.Arrays.copyOf(scratch.ids(0), g0n),
+      java.util.Arrays.copyOf(scratch.ids(1), g1n),
+      java.util.Arrays.copyOf(scratch.ids(2), g2n))
+  }
+
+  /** Drain scratch.hashes(0 until hn) through the dict into scratch.ids(g). */
+  private def resolve(g: Int, dict: LongIntHash, scratch: Scratch, hn: Int): Int = {
+    val out = scratch.ids(g)
+    var n = 0
+    var i = 0
+    while (i < hn) {
+      val id = dict.get(scratch.hashes(i))
+      if (id >= 0) { out(n) = id; n += 1 }
+      i += 1
+    }
+    n
+  }
+
+  /** FNV-1a of a full string (must equal graft.ops.Hashing.fnv1a64). */
+  def fnv(s: String): Long = h(FnvOffset, s)
+}

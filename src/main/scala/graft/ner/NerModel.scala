@@ -29,6 +29,49 @@ final class NerModel(
 
   val classOf: Map[String, Int] = classIndex.zipWithIndex.toMap
 
+  /** FNV-hash → feature-id table for the allocation-free inference path.
+    * Built once per executor (lazy transient) from the string dictionary.
+    */
+  @transient lazy val hashIndex: NerFeaturesFast.LongIntHash = {
+    val t = new NerFeaturesFast.LongIntHash(featureIndex.size)
+    featureIndex.forEach((k, v) => t.put(NerFeaturesFast.fnv(k), v.intValue))
+    t
+  }
+
+  /** word → preprocessed token memo (shape strings are pure functions of the
+    * word under a frozen knownLCWords set, so they are vocabulary-cacheable —
+    * the reference memoizes ngrams the same way, NERFeatureFactory.java:1198-1200).
+    */
+  @transient lazy val tokCache = new java.util.concurrent.ConcurrentHashMap[String, NerFeatures.Tok]()
+  @transient private lazy val scratch = new ThreadLocal[NerFeaturesFast.Scratch] {
+    override def initialValue(): NerFeaturesFast.Scratch = new NerFeaturesFast.Scratch
+  }
+
+  private def tok(w: String): NerFeatures.Tok = {
+    var t = tokCache.get(w)
+    if (t == null) {
+      t = NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains))
+      if (tokCache.size < 2000000) tokCache.put(w, t) // bound executor memory
+    }
+    t
+  }
+
+  /** Fast encode: feature hashing, no string materialization (parity with
+    * `encode` pinned by FeatureParitySpec).
+    */
+  def encodeFast(words: IndexedSeq[String]): Crf.EncodedDoc = {
+    val toks = words.map(tok)
+    val s = scratch.get()
+    val n = toks.length
+    val out = new Array[Array[Array[Int]]](n)
+    var pos = 0
+    while (pos < n) {
+      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s)
+      pos += 1
+    }
+    out
+  }
+
   /** Preprocess raw token words: shape from the ORIGINAL word (with frozen
     * knownLCWords), then timex word fix — matching ObjectBankWrapper.doBasicStuff
     * ordering (ObjectBankWrapper.java:131-155).
@@ -63,7 +106,7 @@ final class NerModel(
   /** Viterbi-tag one document of raw words; returns a label per token. */
   def tag(words: IndexedSeq[String]): Array[String] = {
     if (words.isEmpty) return Array.empty
-    val enc = encode(preprocess(words))
+    val enc = encodeFast(words)
     val pots = Crf.logPotentials(enc, params)
     Crf.viterbi(pots, params).map(classIndex)
   }
