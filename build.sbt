@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: G1's concurrent phases compete with executor
+  // threads when local[N] saturates the machine, producing 3-15x slow
+  // outlier jobs in allocation-heavy closures (measured in Bench).
+  "-XX:+UseParallelGC",
 )
