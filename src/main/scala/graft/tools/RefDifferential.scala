@@ -93,7 +93,13 @@ object RefCompare {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = Paths.get(args.headOption.getOrElse("/tmp/refdiff"))
+    val (p, r) = compare(args.headOption.getOrElse("/tmp/refdiff"))
+    if (p < 0.95 || r < 0.95) sys.exit(1)
+  }
+
+  /** Returns (precision, recall) of our triples vs reference-tag triples. */
+  def compare(dirStr: String): (Double, Double) = {
+    val dir = Paths.get(dirStr)
     val meta = Files.readAllLines(dir.resolve("meta.tsv")).asScala
       .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
     val refTags = parseRefOutput(dir.resolve("ref_out.tsv"))
@@ -131,7 +137,7 @@ object RefCompare {
     if (precision < 0.95 || recall < 0.95) {
       println("sample ours-not-ref: " + (ourTriples -- refTriples).take(5).mkString(" | "))
       println("sample ref-not-ours: " + (refTriples -- ourTriples).take(5).mkString(" | "))
-      sys.exit(1)
     }
+    (precision, recall)
   }
 }

@@ -15,7 +15,11 @@ if [ ! -f "$REFBUILD/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class" ]; the
   rm -rf "$REFBUILD"; mkdir -p "$REFBUILD/classes"
   cp -r /root/reference/src "$REFBUILD/src"
   cd "$REFBUILD"
-  javac -nowarn -d classes \
+  # JDK 17 compatibility: 'yield' is a restricted identifier since Java 14;
+  # the source is UTF-8 (javac 17 defaults to the platform charset)
+  sed -i 's/return yield(/return this.yield(/; s/List<CoreLabel> s = yield();/List<CoreLabel> s = this.yield();/' \
+    src/edu/stanford/nlp/trees/Tree.java
+  javac -nowarn -encoding UTF-8 -d classes \
     $(find src/edu -name '*.java') 2> javac.log || {
       echo "javac failed; tail of log:"; tail -30 javac.log; exit 2; }
 fi
