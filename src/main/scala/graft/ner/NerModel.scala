@@ -112,6 +112,32 @@ final class NerModel(
   }
 
   def numFeatures: Int = featureIndex.size
+
+  /** Viterbi label + posterior marginal P(y_i = label | x) per token
+    * (reference semantic: CRFCliqueTree marginal queries, CRFCliqueTree.java:194-259,
+    * the printProbs debug surface). Marginal of a label = sum of calibrated
+    * full-window posteriors whose newest slot is that label.
+    */
+  def tagWithConfidence(words: IndexedSeq[String]): Array[(String, Double)] = {
+    if (words.isEmpty) return Array.empty
+    val enc = encodeFast(words)
+    val p = params
+    val pots = Crf.logPotentials(enc, p)
+    val best = Crf.viterbi(pots, p)
+    val cal = Crf.forwardBackward(pots, p)
+    val C = p.numClasses
+    Array.tabulate(words.length) { pos =>
+      val lm = cal.logMarginals(pos)
+      var prob = 0.0
+      var e = best(pos) // windows with newest slot == best(pos): enc % C == label
+      while (e < p.fullSize) {
+        val v = lm(e)
+        if (v != Double.NegativeInfinity) prob += math.exp(v)
+        e += C
+      }
+      (classIndex(best(pos)), prob)
+    }
+  }
 }
 
 object NerModel {

@@ -53,7 +53,37 @@ object RefFixtures {
     }
     writeDocs(dir.resolve("train.tsv"), gen(42L, TrainConvs), None)
     writeDocs(dir.resolve("test.tsv"), gen(TestSeed, TestConvs), Some(dir.resolve("meta.tsv")))
+    writeDocs(dir.resolve("test_novel.tsv"),
+      gen(TestSeed, TestConvs).map { case (c, t, w, l) => (c, t, novelWords(w, l), l) },
+      Some(dir.resolve("meta_novel.tsv")))
     println(s"fixtures written to $dir")
+  }
+
+  private val keepAsIs: Set[String] =
+    (Transcripts.titles ++ Transcripts.orgSuffixes).toSet
+
+  /** Deterministically mutate entity tokens into UNSEEN surface forms with
+    * the same shape (capitalization/length class): tests that both systems
+    * generalize via shape+context features, not name memorization. Functional
+    * tokens (titles, corporate suffixes) are kept — they recur in real data.
+    */
+  def novelWords(words: Vector[String], labels: Vector[String]): Vector[String] =
+    words.lazyZip(labels).map { (w, l) =>
+      if (l == "O" || keepAsIs.contains(w)) w else mutate(w)
+    }.toVector
+
+  def mutate(w: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (i >= 1 && c >= 'a' && c <= 'z') {
+        val shift = 1 + (Transcripts.splitmix64(graft.ops.Hashing.fnv1a64(w) + i) & 15).toInt
+        sb.append((((c - 'a') + shift) % 26 + 'a').toChar)
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
   }
 }
 
@@ -93,22 +123,28 @@ object RefCompare {
   }
 
   def main(args: Array[String]): Unit = {
-    val (p, r) = compare(args.headOption.getOrElse("/tmp/refdiff"))
+    val (p, r) = compare(args.headOption.getOrElse("/tmp/refdiff"),
+      novel = args.length > 1 && args(1) == "novel")
     if (p < 0.95 || r < 0.95) sys.exit(1)
   }
 
   /** Returns (precision, recall) of our triples vs reference-tag triples. */
-  def compare(dirStr: String): (Double, Double) = {
+  def compare(dirStr: String, novel: Boolean = false): (Double, Double) = {
     val dir = Paths.get(dirStr)
-    val meta = Files.readAllLines(dir.resolve("meta.tsv")).asScala
+    val sfx = if (novel) "_novel" else ""
+    def wordsOf(convId: Long, turnIdx: Int): Vector[String] = {
+      val (w, l) = Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      if (novel) RefFixtures.novelWords(w, l) else w
+    }
+    val meta = Files.readAllLines(dir.resolve(s"meta$sfx.tsv")).asScala
       .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
-    val refTags = parseRefOutput(dir.resolve("ref_out.tsv"))
+    val refTags = parseRefOutput(dir.resolve(s"ref_out$sfx.tsv"))
     require(refTags.length == meta.length, s"doc count mismatch: ref=${refTags.length} meta=${meta.length}")
 
     // reference triples
     val refTriples = meta.zip(refTags).flatMap { case ((conv, turnIdx, n), tags) =>
       val convId = conv.stripPrefix("conv").toLong
-      val (words, _) = Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val words = wordsOf(convId, turnIdx)
       require(words.length == n && tags.length == n, s"token count mismatch $conv/$turnIdx")
       triplesFromTags(conv, turnIdx, words, tags)
     }.toSet
@@ -118,7 +154,7 @@ object RefCompare {
     val model = graft.ner.NerModel.load(NerModels.defaultPath)
     val ourTriples = meta.flatMap { case (conv, turnIdx, _) =>
       val convId = conv.stripPrefix("conv").toLong
-      val (words, _) = Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val words = wordsOf(convId, turnIdx)
       val text = Transcripts.detokenize(words)
       val sentences = SentenceSplitter.split(Tokenizer.tokenize(text))
       var off = 0

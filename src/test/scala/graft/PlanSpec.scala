@@ -23,6 +23,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q12: scan reads only the needed columns (column pruning)") {
+    spark.catalog.clearCache() // another suite may have cached this table
     val p = SparkEntry.queries("q12_token_stats")(spark, sf)
       .queryExecution.executedPlan.toString
     val readSchema = "ReadSchema: struct<doc_id:bigint,text:string"

@@ -41,12 +41,20 @@ class RefParitySpec extends AnyFunSuite {
       "-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz",
       "-conllNoTags", "true")
     assert((train #> new java.io.File(s"$dir/ref_train.out")).! == 0, "reference training failed")
-    val tag = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
-      "edu.stanford.nlp.ie.crf.CRFClassifier",
-      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv",
-      "-conllNoTags", "true")
-    assert((tag #> new java.io.File(s"$dir/ref_out.tsv")).! == 0, "reference tagging failed")
-    // 4. compare triples (RefCompare exits non-zero below 0.95)
-    graft.tools.RefCompare.main(Array(dir))
+    def tag(testFile: String, outFile: String): Unit = {
+      val cmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier",
+        "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/$testFile",
+        "-conllNoTags", "true")
+      assert((cmd #> new java.io.File(s"$dir/$outFile")).! == 0, s"reference tagging failed: $testFile")
+    }
+    tag("test.tsv", "ref_out.tsv")
+    tag("test_novel.tsv", "ref_out_novel.tsv")
+    // 4. compare triples on held-out turns (seen vocabulary)
+    val (p, r) = graft.tools.RefCompare.compare(dir)
+    assert(p >= 0.95 && r >= 0.95, f"seen-vocab parity P=$p%.4f R=$r%.4f")
+    // 5. compare on UNSEEN entity surface forms (shape/context generalization)
+    val (pn, rn) = graft.tools.RefCompare.compare(dir, novel = true)
+    assert(pn >= 0.95 && rn >= 0.95, f"novel-entity parity P=$pn%.4f R=$rn%.4f")
   }
 }
