@@ -89,6 +89,21 @@ object RefFixtures {
 
 object RefCompare {
 
+  /** Our default model; trains it (via a local session) if the artifact is
+    * missing so the comparison is order-independent.
+    */
+  def ourModel(): graft.ner.NerModel = {
+    if (!Files.exists(Paths.get(NerModels.defaultPath))) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[8]").appName("refcompare-train")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      NerModels.default(spark)
+    }
+    graft.ner.NerModel.load(NerModels.defaultPath)
+  }
+
   /** Parse reference output (word TAB gold TAB guess, blank line between
     * docs) into per-doc guess sequences.
     */
@@ -151,7 +166,7 @@ object RefCompare {
 
     // our triples on the same turns (driver-local tagging: same code path as
     // the Spark closure, no cluster needed for the comparison)
-    val model = graft.ner.NerModel.load(NerModels.defaultPath)
+    val model = ourModel()
     val ourTriples = meta.flatMap { case (conv, turnIdx, _) =>
       val convId = conv.stripPrefix("conv").toLong
       val words = wordsOf(convId, turnIdx)

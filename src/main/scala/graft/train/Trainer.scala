@@ -40,10 +40,13 @@ object Trainer {
     val sc = spark.sparkContext
     docs.cache()
 
-    // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68:
-    // raw words whose first char is lowercase; membership checked on s.toLowerCase).
+    // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68).
+    // Subtlety: the reference's pre-pass iterates through processDocument, so
+    // it sees TIMEX-FIXED words — "Monday" is collected as "monday" and the
+    // later shape pass emits "WT-Xxk" for weekday tokens. Collect fixed words.
     val knownLC: Set[String] = docs
-      .flatMap(_.words.filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
+      .flatMap(_.words.iterator.map(WordShape.fixWord)
+        .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
       .distinct().collect().toSet
 
     // Class index: background first (index 0), then remaining labels sorted.

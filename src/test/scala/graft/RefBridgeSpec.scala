@@ -1,0 +1,81 @@
+package graft
+
+import graft.ner.RefTextModel
+import graft.tools.{RefCompare, RefFixtures}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.sys.process._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The weight-bridge parity proof (SURVEY.md §2.1 "the parity bridge"):
+  * reference-TRAINED weights (text serialization) loaded into OUR engine must
+  * reproduce the reference's own tags. This is stricter than output-level
+  * triple parity — a single byte of drift in any feature template string
+  * makes the dictionary lookup miss and the scores diverge.
+  */
+class RefBridgeSpec extends AnyFunSuite {
+
+  test("reference-trained weights in our engine reproduce the reference's tags") {
+    assume(Files.exists(Paths.get("/root/reference/src")), "reference source not present")
+    val dir = "/tmp/refbridge"
+    val refBuild = "/tmp/refbuild"
+    RefFixtures.main(Array(dir))
+    // compile reference if needed (shared with RefParitySpec)
+    val crf = s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class"
+    if (!Files.exists(Paths.get(crf))) {
+      assume(Seq("bash", "-c", s"rm -rf $refBuild && mkdir -p $refBuild/classes && cp -r /root/reference/src $refBuild/src").! == 0)
+      val tree = Paths.get(s"$refBuild/src/edu/stanford/nlp/trees/Tree.java")
+      Files.writeString(tree, Files.readString(tree)
+        .replace("return yield(", "return this.yield(")
+        .replace("List<CoreLabel> s = yield();", "List<CoreLabel> s = this.yield();"))
+      assume(Seq("bash", "-c",
+        s"cd $refBuild && javac -nowarn -encoding UTF-8 -d classes $$(find src/edu -name '*.java') 2>javac.log").! == 0,
+        "reference javac failed")
+    }
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz",
+      "-conllNoTags", "true") == 0, "reference training failed")
+    assert(ref("-loadClassifier", s"$dir/ref.ser.gz", "-serializeToText", s"$dir/ref.txt.gz") == 0,
+      "reference text export failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv", "-conllNoTags", "true")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    // knownLCWords at reference tagging time = lowercase-initial TIMEX-FIXED
+    // words of train (grown during training) ∪ test (the ObjectBankWrapper
+    // pre-pass iterates through processDocument, so it sees fixed words —
+    // "Monday" enters as "monday")
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val knownLC = lcWords("train.tsv") ++ lcWords("test.tsv")
+
+    val model = RefTextModel.load(s"$dir/ref.txt.gz", knownLC)
+    info(s"bridged model: ${model.numFeatures} features, classes ${model.classIndex.mkString(",")}")
+
+    // tag every test doc with OUR engine + THEIR weights; compare per token
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val disagreements = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      require(ours.length == n && theirs.length == n)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else disagreements += s"$conv/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"bridge token agreement = $agreement%.5f over $total tokens")
+    val sample = disagreements.result().take(8)
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${sample.mkString("\n")}")
+  }
+}
