@@ -175,6 +175,72 @@ object Crf {
     labels
   }
 
+  /** K-best Viterbi decode (reference semantic: KBestSequenceFinder,
+    * /root/reference/src/edu/stanford/nlp/sequences/KBestSequenceFinder.java:19-23):
+    * the k highest-scoring label sequences with their joint scores, best first.
+    * Standard k-best extension of the window-chain recurrence: each (pos,
+    * state) keeps its top-k partial derivations.
+    */
+  def kBestViterbi(potentials: Array[Array[Double]], p: Params, k: Int): Seq[(Array[Int], Double)] = {
+    val C = p.numClasses
+    val S = p.numStates
+    val n = potentials.length
+    if (n == 0) return Seq((Array.emptyIntArray, 0.0))
+    // entry = (score, prevState, prevRank); per (pos, state) sorted desc
+    final case class Ent(score: Double, prevState: Int, prevRank: Int)
+    val best = Array.ofDim[Vector[Ent]](n, S)
+    var pos = 0
+    while (pos < n) {
+      val psi = potentials(pos)
+      var sNext = 0
+      while (sNext < S) {
+        val cand = Vector.newBuilder[Ent]
+        // predecessors of sNext = states s with s*C + c ≡ sNext (mod S), c = sNext % C
+        val c = sNext % C
+        val aMax = if (S >= C) C else 1 // w=1: single empty context state
+        var a = 0
+        while (a < aMax) {
+          val s = (sNext / C) + a * (S / C) // prepend class a to the w-2 recent labels
+          val fullEnc = s * C + c
+          if (fullEnc % S == sNext) {
+            if (pos == 0) {
+              if (s == p.initState && psi(fullEnc) != NegInf)
+                cand += Ent(psi(fullEnc), s, -1)
+            } else {
+              val prev = best(pos - 1)(s)
+              var r = 0
+              while (r < prev.length) {
+                val sc = prev(r).score + psi(fullEnc)
+                if (sc != NegInf) cand += Ent(sc, s, r)
+                r += 1
+              }
+            }
+          }
+          a += 1
+        }
+        best(pos)(sNext) = cand.result().sortBy(-_.score).take(k)
+        sNext += 1
+      }
+      pos += 1
+    }
+    // gather global top-k over final states, then backtrace
+    val finals = for {
+      s <- 0 until S
+      (e, r) <- best(n - 1)(s).zipWithIndex
+    } yield (e.score, s, r)
+    finals.sortBy(-_._1).take(k).map { case (score, sEnd, rEnd) =>
+      val labels = new Array[Int](n)
+      var s = sEnd; var r = rEnd; var i = n - 1
+      while (i >= 0) {
+        labels(i) = s % C
+        val e = best(i)(s)(r)
+        s = e.prevState; r = e.prevRank
+        i -= 1
+      }
+      (labels, score)
+    }
+  }
+
   /** Result of the forward-backward (clique-tree calibration) pass:
     * logZ and per-position posterior log P(full window = enc | x).
     * (Reference semantic: CRFCliqueTree.getCalibratedCliqueTree,

@@ -113,6 +113,13 @@ final class NerModel(
 
   def numFeatures: Int = featureIndex.size
 
+  /** K-best label sequences with joint scores (KBestSequenceFinder surface). */
+  def tagKBest(words: IndexedSeq[String], k: Int): Seq[(Seq[String], Double)] = {
+    if (words.isEmpty) return Seq((Seq.empty, 0.0))
+    val pots = Crf.logPotentials(encodeFast(words), params)
+    Crf.kBestViterbi(pots, params, k).map { case (ls, sc) => (ls.toSeq.map(classIndex), sc) }
+  }
+
   /** Viterbi label + posterior marginal P(y_i = label | x) per token
     * (reference semantic: CRFCliqueTree marginal queries, CRFCliqueTree.java:194-259,
     * the printProbs debug surface). Marginal of a label = sum of calibrated
@@ -152,8 +159,15 @@ object NerModel {
     val w = new BufferedWriter(new OutputStreamWriter(
       new GZIPOutputStream(Files.newOutputStream(p)), "UTF-8"))
     try {
-      w.write(s"graft-ner-v1\t${m.classIndex.length}\t${m.layout.windowSize}\t${m.backgroundIndex}\n")
+      w.write(s"graft-ner-v2\t${m.classIndex.length}\t${m.layout.windowSize}\t${m.backgroundIndex}\n")
       w.write(m.classIndex.mkString("\t")); w.write("\n")
+      // label-window indices per clique group (observed-sequences-only support):
+      // for each group, the window encodings in column order
+      for (g <- 0 until m.layout.windowSize) {
+        val cols = m.layout.weightCol(g)
+        val encsByCol = cols.zipWithIndex.filter(_._1 >= 0).sortBy(_._1).map(_._2)
+        w.write(encsByCol.mkString(" ")); w.write("\n")
+      }
       // feature index sorted by id; group + weight row inline
       val inv = new Array[String](m.featureIndex.size)
       m.featureIndex.forEach((k, v) => inv(v.intValue) = k)
@@ -175,12 +189,20 @@ object NerModel {
       new GZIPInputStream(Files.newInputStream(Paths.get(path))), "UTF-8"))
     try {
       val header = r.readLine().split("\t")
-      require(header(0) == "graft-ner-v1", s"bad model header: ${header(0)}")
+      require(header(0) == "graft-ner-v2", s"bad model header: ${header(0)}")
       val numClasses = header(1).toInt
       val windowSize = header(2).toInt
       val backgroundIndex = header(3).toInt
       val classIndex = r.readLine().split("\t")
       require(classIndex.length == numClasses)
+      val weightCol = Array.tabulate(windowSize) { g =>
+        val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
+        val line = r.readLine().trim
+        if (line.nonEmpty)
+          line.split(" ").map(_.toInt).zipWithIndex.foreach { case (enc, k) => cols(enc) = k }
+        cols
+      }
+      val numCols = weightCol.map(_.count(_ >= 0))
       val nFeat = r.readLine().toInt
       val featureIndex = new java.util.HashMap[String, Integer](nFeat * 2)
       val featGroup = new Array[Int](nFeat)
@@ -197,7 +219,7 @@ object NerModel {
       }
       val nLC = r.readLine().toInt
       val knownLC = (0 until nLC).map(_ => r.readLine()).toSet
-      val layout = WeightLayout.fullProduct(numClasses, windowSize, backgroundIndex, featGroup)
+      val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC)
     } finally r.close()
   }

@@ -33,7 +33,12 @@ object Trainer {
       tolerance: Double = 1e-4, // flags.tolerance default (SeqClassifierFlags.java:67)
       maxIterations: Int = 200,
       lbfgsMemory: Int = 15, // QNsize under conllNoTags (SeqClassifierFlags.java:732)
-      background: String = "O")
+      background: String = "O",
+      // conllNoTags sets useObservedSequencesOnly (SeqClassifierFlags.java:690):
+      // label windows never seen in training are forbidden (-inf factor entries,
+      // matching the reference's NEGATIVE_INFINITY-initialized FactorTable) and
+      // carry no weight columns.
+      observedSequencesOnly: Boolean = true)
 
   def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -76,7 +81,32 @@ object Trainer {
       f += 1
     }
     val numClasses = classIndex.length
-    val layout = WeightLayout.fullProduct(numClasses, NerFeatures.WindowSize, 0, featGroup)
+    val w = NerFeatures.WindowSize
+    val layout =
+      if (!cfg.observedSequencesOnly) WeightLayout.fullProduct(numClasses, w, 0, featGroup)
+      else {
+        // observed label windows per clique group (CRFClassifier.java:482-489)
+        val classOfB = sc.broadcast(classOf)
+        val observed: Array[(Int, Int)] = docs.flatMap { d =>
+          val ids = d.labels.map(classOfB.value).toArray
+          (0 until ids.length).iterator.flatMap { pos =>
+            (0 until w).iterator.map { g =>
+              var enc = 0
+              var i = pos - g
+              while (i <= pos) { enc = enc * numClasses + (if (i < 0) 0 else ids(i)); i += 1 }
+              (g, enc)
+            }
+          }
+        }.distinct().collect()
+        val weightCol = Array.tabulate(w) { g =>
+          val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
+          observed.filter(_._1 == g).map(_._2).sorted.zipWithIndex
+            .foreach { case (enc, k) => cols(enc) = k }
+          cols
+        }
+        val numCols = weightCol.map(_.count(_ >= 0))
+        new WeightLayout(numClasses, w, 0, featGroup, weightCol, numCols)
+      }
     val bcastDict = sc.broadcast(featureIndex)
 
     // Pass 3: encode the corpus once and cache it (reference: documentsToDataAndLabels,

@@ -91,6 +91,27 @@ class CrfSpec extends AnyFunSuite {
     }
   }
 
+  test("k-best viterbi matches top-k enumeration") {
+    for (seed <- 1 to 5; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val (layout, flat, doc, _) = mkRandom(seed * 17, c, w, nFeat = 12, docLen = 5)
+      val p = layout.params(flat)
+      val scores = bruteScores(doc, p)
+      val k = 4
+      val want = scores.values.toSeq.sorted.reverse.take(k)
+      val got = Crf.kBestViterbi(Crf.logPotentials(doc, p), p, k)
+      assert(got.length == k)
+      // scores match top-k enumeration; each sequence's score is consistent
+      got.map(_._2).zip(want).foreach { case (g, w0) =>
+        assert(math.abs(g - w0) < 1e-9, s"seed=$seed c=$c w=$w got=${got.map(_._2)} want=$want")
+      }
+      got.foreach { case (seq, sc) => assert(math.abs(scores(seq.toSeq) - sc) < 1e-9) }
+      // sequences are distinct
+      assert(got.map(_._1.toSeq).distinct.length == k)
+      // rank 1 equals plain viterbi
+      assert(got.head._1.toSeq == Crf.viterbi(Crf.logPotentials(doc, p), p).toSeq)
+    }
+  }
+
   test("empty and single-token documents") {
     val (layout, flat, _, _) = mkRandom(3, 3, 3, nFeat = 6, docLen = 1)
     val p = layout.params(flat)

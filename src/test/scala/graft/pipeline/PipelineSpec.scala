@@ -103,12 +103,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f < 0.95")
   }
 
-  test("model save/load round-trip preserves tagging") {
+  test("model save/load round-trip preserves tagging (incl. observed-only layout)") {
     val path = java.nio.file.Files.createTempDirectory("nermodel").resolve("m.gz").toString
     NerModel.save(model, path)
     val loaded = NerModel.load(path)
     val (words, _) = Transcripts.turnTokens(7L, 3L, 1)
     assert(loaded.tag(words).toSeq == model.tag(words).toSeq)
     assert(loaded.numFeatures == model.numFeatures)
+    // conllNoTags preset trains observed-sequences-only: the top clique group
+    // must carry fewer label windows than the full product (4^3 = 64)
+    assert(model.layout.numCols(2) < 64, s"numCols=${model.layout.numCols.toSeq}")
+    assert(loaded.layout.numCols.toSeq == model.layout.numCols.toSeq)
   }
 }
