@@ -212,7 +212,17 @@ object SparkEntry {
     // ===== multimodal + fingerprints (rows-only) =====
     "q36_multimodal_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.withPayload(t(s, d, "documents"))).toDF()),
-    "q37_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents")))
+    "q37_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
+
+    // native Catalyst expressions (codegen'd): shape histogram over doc tokens
+    "q38_shape_histogram" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit(TokPat), lit(0))).as("tok"))
+        .select(graft.functions.GraftFunctions.graft_shape(col("tok")).as("shape"))
+        .groupBy(col("shape")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shape"))
+    })
   )
 
   private implicit class SeqToDF(private val rows: Seq[(String, String)]) {

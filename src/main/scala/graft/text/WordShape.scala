@@ -33,6 +33,11 @@ object WordShape {
     sb.toString
   }
 
+  /** Static-forwarder-friendly entry point (no function argument) for
+    * Catalyst codegen (graft.functions.GraftShape).
+    */
+  def dan2NoLC(s: String): String = dan2(s, null)
+
   private val monthDay = java.util.regex.Pattern.compile(
     "Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday|January|February|March|April|May|June|July|August|September|October|November|December",
     java.util.regex.Pattern.CASE_INSENSITIVE)
