@@ -68,6 +68,34 @@ object Tagger {
     out.result()
   }
 
+  /** Conversation-grouped tagging: assemble each conversation's turns in
+    * stable (conv_id, turn_idx) order and tag them inside one group closure —
+    * the north-star `groupByKey(conv_id).flatMapSortedGroups` shape. The
+    * decode unit stays the sentence, so under the conllNoTags feature set the
+    * output is IDENTICAL to the shuffle-free `mentions` path (asserted in
+    * TaggerGroupingSpec); this path is where conversation-scoped state
+    * (occurrence-pattern features, cross-turn consistency priors) plugs in,
+    * at the cost of exactly one shuffle.
+    */
+  def mentionsByConversation(turns: Dataset[Turn], model: Broadcast[NerModel]): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.groupByKey(_.conv_id).flatMapSortedGroups(Seq($"turn_idx".asc): _*) { (_, it) =>
+      val m = model.value
+      val bg = m.classIndex(m.backgroundIndex)
+      it.flatMap { turn =>
+        if (turn.text == null || turn.text.isEmpty) Iterator.empty
+        else {
+          val sentences = SentenceSplitter.split(Tokenizer.tokenize(turn.text))
+          sentences.iterator.zipWithIndex.flatMap { case (sent, sentIdx) =>
+            val answers = m.tag(sent.map(_.word)).toIndexedSeq
+            spansOfSentence(turn.conv_id, turn.turn_idx, sentIdx, sent, answers, turn.text, bg)
+          }
+        }
+      }
+    }
+  }
+
   /** Tag turns and emit mentions directly (single pass, still shuffle-free). */
   def mentions(turns: Dataset[Turn], model: Broadcast[NerModel]): Dataset[Mention] = {
     val spark = turns.sparkSession
