@@ -14,6 +14,9 @@ Test / fork := true
 // cache/catalog state and race streaming state-store commits.
 Test / parallelExecution := false
 run / fork := true
+// No [info]/[error] log prefixes on forked-run output: the harness parses the
+// Bench JSON line from stdout (round 1's line was prefixed and unparseable).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads when local[N] saturates the machine, producing 3-15x slow
   // outlier jobs in allocation-heavy closures (measured in Bench).
   "-XX:+UseParallelGC",
+  // Default GC threads = nproc (32); if the harness runs us under a CPU
+  // quota, 32 GC threads thrash it. Measured GC time per bench rep is
+  // ~0.06s, so 8 threads costs nothing on the idle-machine path.
+  "-XX:ParallelGCThreads=8",
 )

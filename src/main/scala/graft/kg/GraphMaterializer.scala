@@ -34,7 +34,22 @@ object GraphMaterializer {
     }
   }
 
-  final case class Config(nodeBuckets: Int = 16, edgeBuckets: Int = 16)
+  final case class Config(
+      nodeBuckets: Int = 16,
+      edgeBuckets: Int = 16,
+      // Above this many surface rows the surface->entity map no longer gets a
+      // broadcast hint: a blind broadcast of an unbounded vocabulary OOMs the
+      // driver/executors at 100TB scale; past the cap the joins fall back to
+      // shuffle joins with AQE (the triple stream shuffles — unavoidable once
+      // the map exceeds executor memory).
+      maxBroadcastSurfaces: Long = 5000000L)
+
+  /** Surface->entity map with a size-guarded broadcast hint (see Config). */
+  def surfaceMap(linked: DataFrame, maxBroadcastSurfaces: Long = 5000000L): DataFrame = {
+    import linked.sparkSession.implicits._
+    val sel = linked.select($"etype", $"surface", $"entity_id", $"canonical_surface")
+    if (linked.count() <= maxBroadcastSurfaces) broadcast(sel) else sel
+  }
 
   /** Write nodes + edges; returns (nodes, edges) DataFrames (also persisted).
     *
@@ -50,7 +65,11 @@ object GraphMaterializer {
     val spark = triples.sparkSession
     import spark.implicits._
 
-    val nodes = linked
+    // materialize the linking result once: it feeds nodes, the size guard and
+    // both edge joins (4 consumers); vocabulary-sized, so cheap to pin
+    val linkedM = linked.localCheckpoint()
+
+    val nodes = linkedM
       .groupBy($"entity_id", $"etype")
       .agg(
         sum($"n_mentions").as("n_mentions"),
@@ -66,9 +85,8 @@ object GraphMaterializer {
     }
 
     // surface -> entity map is vocabulary-sized: broadcast it into both joins
-    // so the triple stream itself is never shuffled.
-    val surfMap = broadcast(
-      linked.select($"etype", $"surface", $"entity_id", $"canonical_surface"))
+    // (size-guarded) so the triple stream itself is never shuffled.
+    val surfMap = surfaceMap(linkedM, cfg.maxBroadcastSurfaces)
 
     val edges = triples.toDF()
       .join(surfMap

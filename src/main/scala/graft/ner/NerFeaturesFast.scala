@@ -41,9 +41,18 @@ object NerFeaturesFast {
     private val keys = new Array[Long](cap)
     private val vals = Array.fill(cap)(-1)
 
+    /** Number of DISTINCT keys inserted; if this is ever < number of put()
+      * calls with distinct source strings, two strings collided in 64-bit FNV
+      * and one weight row would silently shadow another (wrong tags, no error
+      * signal) — callers building from a string dictionary must check.
+      */
+    private var _size = 0
+    def size: Int = _size
+
     def put(k: Long, v: Int): Unit = {
       var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & mask
       while (vals(i) != -1 && keys(i) != k) i = (i + 1) & mask
+      if (vals(i) == -1) _size += 1
       keys(i) = k; vals(i) = v
     }
     def get(k: Long): Int = {
@@ -57,11 +66,15 @@ object NerFeaturesFast {
   }
 
   /** Per-thread scratch to avoid re-allocating buffers per position.
-    * 4096 bounds the worst case (ngram features ≈ 2× token length + 30).
+    * 4096 covers typical tokens; buffers GROW on demand because the ngram
+    * family emits ~2x(token length) hashes and the tokenizer places no bound
+    * on alphanumeric run length (a >2030-char token — long base64/hash IDs —
+    * must not crash the tagging path; parity forbids capping ngram length
+    * since the reference preset leaves maxNGramLeng unset).
     */
   final class Scratch {
-    val hashes = new Array[Long](4096)
-    val ids = Array.ofDim[Int](3, 4096)
+    var hashes = new Array[Long](4096)
+    val ids = Array.tabulate(3)(_ => new Array[Int](4096))
   }
 
   private val suffixC = "|C"
@@ -79,14 +92,17 @@ object NerFeaturesFast {
     val nt = at(loc + 1); val n2 = at(loc + 2)
     val cWord = c.word; val pWord = p.word; val nWord = nt.word
 
-    val hb = scratch.hashes
+    var hb = scratch.hashes
     var hn = 0
     @inline def emit(x: Long): Unit = {
       // dedup: linear scan (feature sets are small); preserves set semantics
       var i = 0
       var dup = false
       while (i < hn && !dup) { if (hb(i) == x) dup = true; i += 1 }
-      if (!dup) { hb(hn) = x; hn += 1 }
+      if (!dup) {
+        if (hn == hb.length) { hb = java.util.Arrays.copyOf(hb, hb.length << 1); scratch.hashes = hb }
+        hb(hn) = x; hn += 1
+      }
     }
 
     // ---- group 0 ----
@@ -169,6 +185,8 @@ object NerFeaturesFast {
 
   /** Drain scratch.hashes(0 until hn) through the dict into scratch.ids(g). */
   private def resolve(g: Int, dict: LongIntHash, scratch: Scratch, hn: Int): Int = {
+    if (scratch.ids(g).length < hn)
+      scratch.ids(g) = new Array[Int](Integer.highestOneBit(hn - 1) << 1)
     val out = scratch.ids(g)
     var n = 0
     var i = 0

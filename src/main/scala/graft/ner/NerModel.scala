@@ -35,6 +35,16 @@ final class NerModel(
   @transient lazy val hashIndex: NerFeaturesFast.LongIntHash = {
     val t = new NerFeaturesFast.LongIntHash(featureIndex.size)
     featureIndex.forEach((k, v) => t.put(NerFeaturesFast.fnv(k), v.intValue))
+    // Fail fast on a 64-bit FNV collision between two dictionary strings:
+    // a silent overwrite would activate the wrong weight row with no error
+    // signal. P(collision) ~ n^2/2^65 (~3e-9 at n=10^6) but grows
+    // quadratically with the feature count; detection is free here.
+    // (Query-side collisions of UNSEEN features against dictionary entries
+    // remain probabilistic at n/2^64 per feature — documented tradeoff of
+    // the hashing fast path; the string `encode` path has no such risk.)
+    require(t.size == featureIndex.size,
+      s"FNV-64 collision among ${featureIndex.size} feature-dictionary keys " +
+        s"(got ${t.size} distinct hashes); use the string encode path for this model")
     t
   }
 

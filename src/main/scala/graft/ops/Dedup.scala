@@ -50,11 +50,16 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = TextAnalysis.tokensCol(lower(col("text")))
-    // distinct word n-gram strings per doc (SQL-portable: transform over indexes)
+    // distinct word n-gram strings per doc (SQL-portable: transform over
+    // indexes). Docs with < n tokens MUST short-circuit to an empty array:
+    // sequence(1, size-(n-1)) steps DOWNWARD when size < n ([1,0]) and
+    // slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START.
     val grams = docs.select(col("doc_id"),
-      array_distinct(
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as("shingles"))
+      when(size(toks) >= n,
+        array_distinct(
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>")).as("shingles"))
       .where(size(col("shingles")) > 0)
     val sizes = grams.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val exploded = grams.select(col("doc_id"), explode(col("shingles")).as("sh"))

@@ -30,6 +30,25 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(positions > 1000)
   }
 
+  test("giant tokens (>2048 chars) tag without scratch-buffer overflow and keep parity") {
+    // Round-1 review finding: fixed 4096-entry scratch buffers overflowed on
+    // tokens >= ~2030 chars (the ngram family emits ~2x token-length hashes;
+    // the tokenizer places no bound on alphanumeric run length). The buffers
+    // now grow on demand; parity with the string path must hold throughout.
+    val model = NerModels.default(SparkTestSession.spark).value
+    val giant = "x" * 2500 + "7f" * 10 // 2520-char pseudo-base64 blob
+    val words = Vector("Alice", "Johnson", "pasted", giant, "into", "the", "chat", ".")
+    val slow = model.encode(model.preprocess(words))
+    val fast = model.encodeFast(words)
+    for (pos <- slow.indices; g <- 0 until 3)
+      assert(slow(pos)(g).toSeq == fast(pos)(g).toSeq, s"pos=$pos g=$g")
+    val tags = model.tag(words) // must not throw
+    assert(tags.length == words.length)
+    assert(tags(0) == "PERSON" && tags(1) == "PERSON")
+    // and an even longer one straight through tag()
+    assert(model.tag(Vector("see", "a" * 9000, ".")).length == 3)
+  }
+
   test("tagging via fast path matches gold on held-out turns") {
     val model = NerModels.default(SparkTestSession.spark).value
     var correct = 0L; var total = 0L

@@ -67,6 +67,32 @@ class DedupSpec extends AnyFunSuite {
     } else info("no pairs above tau at this sf (both sides empty)")
   }
 
+  test("ngram jaccard survives docs shorter than n tokens (round-1 crash)") {
+    // sequence(1, size-(n-1)) steps DOWNWARD for size<n and slice(_,0,_)
+    // threw INVALID_PARAMETER_VALUE.START; short docs must yield no shingles.
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"), (4L, "exactly three tokens"),
+      (5L, "alpha beta gamma delta epsilon zeta"),
+      (6L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(mixed, n = 3, tau = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("shingle frequency cap drops hot-shingle pairs deterministically") {
+    import spark.implicits._
+    // 5 docs share one boilerplate trigram; with the cap below 5 the hot
+    // shingle contributes no candidate pairs, so only the true near-dups
+    // (sharing rarer shingles) surface.
+    val docs = (0 until 5).map(i => (i.toLong, s"common stop shingle unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.1, maxShingleFreq = 100)
+    val capped = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.1, maxShingleFreq = 4)
+    assert(uncapped.count() == 10) // all pairs share the hot shingle
+    assert(capped.count() == 0)    // cap removes the quadratic fan-out
+  }
+
   test("simhash pairs are symmetric-free and hamming-bounded") {
     val res = Dedup.simHashPairs(docs, maxHamming = 10).collect()
     assert(res.forall(r => r.getLong(0) < r.getLong(1)))
