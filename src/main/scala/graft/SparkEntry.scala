@@ -177,7 +177,10 @@ object SparkEntry {
     // ===== similarity search =====
     "q22_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
     "q23_knn_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
-    "q24_embed_pairs" -> ((s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), tau = 0.4)),
+    // blocked exact all-pairs (tile equi-join), NOT the broadcast cartesian:
+    // same rows as the brute baseline, but distributed O(n^2/p) with no
+    // driver-side materialization (round-1 review finding)
+    "q24_embed_pairs" -> ((s, d) => Similarity.cosinePairsBlocked(t(s, d, "embeddings"), tau = 0.4)),
 
     // ===== streaming semantics (batch-equivalent; streaming path in StreamingSpec) =====
     "q25_windowed_events" -> ((s, d) => {

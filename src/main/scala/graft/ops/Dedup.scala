@@ -143,9 +143,9 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
   }
 
-  /** Embedding cosine near-dup pairs >= tau (brute within LSH buckets is the
-    * scale path; at sf sizes the verified brute pass in Similarity covers it).
+  /** Embedding cosine near-dup pairs >= tau, exact via the blocked tile
+    * self-join (see Similarity.cosinePairsBlocked for the scale analysis).
     */
   def embeddingPairs(embeddings: DataFrame, tau: Double = 0.95): DataFrame =
-    Similarity.cosinePairs(embeddings, tau)
+    Similarity.cosinePairsBlocked(embeddings, tau)
 }

@@ -16,21 +16,22 @@ object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in double
     * with a fixed left-to-right fold so the result is bit-deterministic and
-    * reproducible by the DuckDB oracle.
+    * reproducible by the DuckDB oracle. Backed by the native codegen'd
+    * GraftCosine expression (callers must register graft functions once per
+    * session — every operator below does); fold order is identical to the
+    * previous zip_with+aggregate formulation, but the higher-order-function
+    * route interpreted its lambda per element with boxing (~30us/pair at
+    * dim=64 — it dominated round-1's q24 at 64s), while this is ~0.1us.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graft_cosine(a, b)
 
   /** Brute-force top-k cosine neighbors for the query subset
     * `vec_id % queryMod == 0`. The query side is broadcast (it is tiny by
     * construction); the big side streams — one pass, no shuffle of the corpus.
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -75,6 +76,7 @@ object Similarity {
       nTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val keysUdf = udf((e: Seq[Float]) => {
       val a = e.toArray
       (0 until nTables).map(t => rhpSignature(a, bitsPerTable, seed = 0xb175L + 7919L * t))
@@ -95,15 +97,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
-  /** All pairs with cosine >= tau (near-duplicate embeddings). Brute at sf
-    * scale; swap the cross join for the LSH bucket join at production scale.
+  /** All pairs with cosine >= tau — broadcast-nested-loop formulation. Kept
+    * ONLY as the small-sf correctness baseline for cosinePairsBlocked (it puts
+    * one whole side in driver+executor memory: a scale-killer — round-1 review
+    * finding). Production entry points use cosinePairsBlocked.
     */
   def cosinePairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val l = embeddings.select(col("vec_id").as("vec_id_1"), col("embedding").as("e1"))
     val r = embeddings.select(col("vec_id").as("vec_id_2"), col("embedding").as("e2"))
     l.join(broadcast(r), col("vec_id_1") < col("vec_id_2"))
       .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
       .where(col("sim") >= tau)
       .select(col("vec_id_1"), col("vec_id_2"), col("sim"))
+  }
+
+  /** All pairs with cosine >= tau, computed EXACTLY via a blocked tile
+    * self-join (the scale path for exact low-threshold all-pairs, where no
+    * LSH family reaches recall 1.0 — at tau=0.4 the qualifying pairs sit at
+    * ~66 deg, indistinguishable from the random-pair bulk by any sketch).
+    *
+    * Scheme: vectors are hashed into B blocks; the unordered block pairs
+    * (i <= j) index B(B+1)/2 "tiles". The left side replicates each vector to
+    * tiles (b, b..B-1), the right side to tiles (0..b, b); every vector pair
+    * meets in EXACTLY one tile (min-block, max-block), diagonal tiles dedup
+    * by id order. The tile key turns the cross product into a shuffle
+    * EQUI-join: O(n^2/p) compute spread over all executors, per-task memory
+    * O(n/B), replication factor (B+1)/2 per side, no driver materialization,
+    * no BroadcastNestedLoopJoin (asserted by PlanSpec). Pick B ~ sqrt(2 x
+    * total cores) so every core gets a tile.
+    */
+  def cosinePairsBlocked(embeddings: DataFrame, tau: Double, nBlocks: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val B = nBlocks
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      pmod(hash(col("vec_id")), lit(B)).as("b"))
+    val l = base.select(col("vec_id").as("id_l"), col("embedding").as("e_l"), col("b").as("b_l"),
+      explode(transform(sequence(col("b"), lit(B - 1)), j => col("b") * B + j)).as("tile"))
+    val r = base.select(col("vec_id").as("id_r"), col("embedding").as("e_r"), col("b").as("b_r"),
+      explode(transform(sequence(lit(0), col("b")), i => i * B + col("b"))).as("tile"))
+    l.join(r, Seq("tile"))
+      .where(col("b_l") =!= col("b_r") || col("id_l") < col("id_r"))
+      .withColumn("sim", round(cosine(col("e_l"), col("e_r")), 6))
+      .where(col("sim") >= tau)
+      .select(least(col("id_l"), col("id_r")).as("vec_id_1"),
+        greatest(col("id_l"), col("id_r")).as("vec_id_2"), col("sim"))
   }
 }

@@ -48,6 +48,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q24 blocked pairs: tile EQUI-join, no broadcast cartesian") {
+    // round-1 finding: cosinePairs was a BroadcastNestedLoopJoin over all
+    // pairs (driver-side materialization, scale-killer). The blocked tile
+    // formulation must plan as a shuffle/broadcast HASH join on the tile key.
+    val p = plan("q24_embed_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q15 dict tag: gazette join is broadcast") {
     val p = plan("q15_dict_tag")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

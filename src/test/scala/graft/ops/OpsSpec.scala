@@ -136,6 +136,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("blocked exact pairs == brute-force pairs (rows AND sims), any block count") {
+    val brute = Similarity.cosinePairs(emb, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (b <- Seq(3, 16)) {
+      val blocked = Similarity.cosinePairsBlocked(emb, tau = 0.4, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == brute, s"nBlocks=$b: missing=${brute -- blocked} extra=${blocked -- brute}")
+    }
+  }
+
+  test("native graft_cosine is bit-identical to the zip_with/aggregate fold") {
+    // the DuckDB oracle reproduces the old Catalyst fold exactly; the native
+    // expression must not perturb a single ulp
+    val oldCosine = {
+      val a = col("e1"); val b = col("e2")
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+      val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+      dot / (na * nb)
+    }
+    val pairs = emb.limit(40).select(col("embedding").as("e1"), lit(1).as("k"))
+      .join(emb.limit(40).select(col("embedding").as("e2"), lit(1).as("k")), "k")
+    graft.functions.GraftFunctions.register(spark)
+    val diffs = pairs
+      .select(oldCosine.as("old"), Similarity.cosine(col("e1"), col("e2")).as("new"))
+      .where(col("old") =!= col("new")) // bitwise-exact double equality
+      .count()
+    assert(diffs == 0)
+  }
+
   test("LSH recall vs brute force on near-random data (report-only bar)") {
     val brute = Similarity.bruteForceTopK(emb, k = 5, queryMod = 50)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
