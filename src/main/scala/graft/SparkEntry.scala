@@ -261,6 +261,69 @@ object SparkEntry {
        |  FROM i JOIN sz x ON i.d1 = x.doc_id JOIN sz y ON i.d2 = y.doc_id
        |  WHERE round(inter * 1.0 / (x.nsh + y.nsh - inter), 4) >= 0.5)""".stripMargin
 
+  // ---- 64-bit hash algebra in DuckDB SQL ----
+  // Oracles for the sketch operators (minhash, simhash, fingerprints) compute
+  // the SAME algorithms independently in pure single-statement SQL: unsigned
+  // 64-bit values live in HUGEINT, xor() is native, >>> k is // 2^k, and
+  // (a*b) mod 2^64 splits a into 32-bit halves so the 128-bit product never
+  // overflows: a*b mod 2^64 = (a_lo*b + ((a_hi*b_lo) mod 2^32)*2^32) mod 2^64.
+  private val M64 = "18446744073709551616" // 2^64
+  private def umul64(t: String, c: Long): String = {
+    val cu = java.lang.Long.toUnsignedString(c)
+    val cl = java.lang.Long.toUnsignedString(c & 0xffffffffL)
+    s"(($t) % 4294967296 * $cu + (($t) // 4294967296 * $cl % 4294967296) * 4294967296) % $M64::HUGEINT"
+  }
+  /** FNV-1a over a string expr (== Hashing.fnv1a64, unsigned in HUGEINT). */
+  private def fnvSql(col: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(string_split($col,''), c -> ord(c)::HUGEINT)),
+       |  (h, c) -> ${umul64("xor(h, c)", 0x100000001b3L)})""".stripMargin
+  /** Distinct word n-gram shingle STRINGS of lower(text) over whitespace
+    * tokens, with the <n-token singleton rule (== Hashing.wordShingles'
+    * pre-hash shingle set). CTEs: toks, sh.
+    */
+  private def wordShinglesCtes(n: Int): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= $n
+       |  THEN [array_to_string(t[i:i+${n - 1}], ' ') FOR i IN range(1, len(t)-${n - 2})]
+       |  ELSE [array_to_string(t, ' ')] END) shingles FROM toks)""".stripMargin
+  private val powersCte =
+    "powers(b, pw) AS (VALUES " +
+      (0 until 64).map(b => s"($b,${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT)").mkString(",") + ")"
+  /** Per-doc 64-bit SimHash (== Hashing.simHash over wordShingles(lower, n)):
+    * fnv each shingle, splitmix64 staged (sm1-sm3, hs), per-bit majority vote.
+    * CTEs: toks, sh, shx, sm1..sm3, hs, powers, bits, sim.
+    */
+  private def simhashCtes(n: Int): String =
+    s"""${wordShinglesCtes(n)},
+       |shx AS (SELECT doc_id, ${fnvSql("s")} x FROM (SELECT doc_id, unnest(shingles) s FROM sh)),
+       |sm1 AS (SELECT doc_id, (x + 11400714819323198485) % $M64::HUGEINT z1 FROM shx),
+       |sm2 AS (SELECT doc_id, ${umul64("xor(z1, z1 // 1073741824)", 0xbf58476d1ce4e5b9L)} z2 FROM sm1),
+       |sm3 AS (SELECT doc_id, ${umul64("xor(z2, z2 // 134217728)", 0x94d049bb133111ebL)} z3 FROM sm2),
+       |hs AS (SELECT doc_id, xor(z3, z3 // 2147483648) h FROM sm3),
+       |$powersCte,
+       |bits AS (SELECT doc_id, b, sum(((h // pw) % 2)::BIGINT) ones, count(*) nsh
+       |  FROM hs CROSS JOIN powers GROUP BY doc_id, b),
+       |sim AS (SELECT doc_id, sum(CASE WHEN 2*ones > nsh THEN pw ELSE 0::HUGEINT END) sim
+       |  FROM bits JOIN powers USING (b) GROUP BY doc_id)""".stripMargin
+  /** HUGEINT in [0, 2^64) -> its signed-64 value as BIGINT (Spark LongType). */
+  private def toSigned(c: String): String =
+    s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $M64 ELSE $c END AS BIGINT)"
+  /** MinHash universal-hash constants, derived EXACTLY as Hashing.minHash
+    * derives them (a_i normalized to its signed value mod 2^61-1, matching
+    * mulmod61's signed-product semantics; b_i masked to 61 bits).
+    */
+  private val minhashHashersCte: String = {
+    val P = (1L << 61) - 1
+    val rows = (0 until 64).map { i =>
+      val a = graft.ops.Hashing.splitmix64(0x5eedL + 2L * i) | 1L
+      val aModP = { val m = a % P; if (m < 0) m + P else m }
+      val b = graft.ops.Hashing.splitmix64(0x5eedL + 2L * i + 1) & P
+      s"($i,$aModP::HUGEINT,$b::HUGEINT)"
+    }
+    s"hashers(i, a, b) AS (VALUES ${rows.mkString(",")})"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -387,6 +450,50 @@ object SparkEntry {
          |  UNION
          |  SELECT w.src, ed.b FROM walk w JOIN ed ON w.node = ed.a)
          |SELECT src AS id, min(node) AS component FROM walk GROUP BY 1""".stripMargin,
+    // Full MinHash-LSH pipeline reproduced independently in SQL: shingle ->
+    // fnv -> 64 universal-hash minima (mod 2^61-1) -> 16 banded FNV keys ->
+    // bucket join -> exact-jaccard verify. A hash-green row here certifies
+    // the whole sketch path (signatures, banding, candidate join), not just
+    // the verify stage.
+    "q20_dedup_minhash" ->
+      s"""WITH $minhashHashersCte,
+         |${wordShinglesCtes(3)},
+         |shx AS (SELECT doc_id, ${fnvSql("s")} % 2305843009213693952 xm
+         |  FROM (SELECT doc_id, unnest(shingles) s FROM sh)),
+         |sig AS (SELECT doc_id, i, min((a * xm % 2305843009213693951 + b) % 2305843009213693951) v
+         |  FROM shx CROSS JOIN hashers GROUP BY doc_id, i),
+         |bk AS (SELECT doc_id, i // 4 band,
+         |    list_reduce(list_prepend(xor(14695981039346656037::HUGEINT, (i // 4)::HUGEINT),
+         |                             list(v ORDER BY i)),
+         |                (h, s) -> ${umul64("xor(h, s)", 0x100000001b3L)}) bkey
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2 FROM bk a JOIN bk b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |jac AS (SELECT d1 doc_id_1, d2 doc_id_2,
+         |    round(len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+         |          (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))), 4) jaccard
+         |  FROM cand JOIN sh x ON d1 = x.doc_id JOIN sh y ON d2 = y.doc_id)
+         |SELECT doc_id_1, doc_id_2, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+    // SimHash reproduced in SQL (fnv -> splitmix64 -> bit votes), 16-bit
+    // chunk-key candidate join, exact Hamming verify.
+    "q21_dedup_simhash" ->
+      s"""WITH ${simhashCtes(2)},
+         |chunks(c, dv) AS (VALUES ${(0 until 4).map(c => s"($c,${java.lang.Long.toUnsignedString(1L << (16 * c))}::HUGEINT)").mkString(",")}),
+         |keyed AS (SELECT doc_id, sim, c, (sim // dv) % 65536 ck FROM sim CROSS JOIN chunks),
+         |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.sim s1, b.sim s2
+         |  FROM keyed a JOIN keyed b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
+         |ham AS (SELECT d1 doc_id_1, d2 doc_id_2,
+         |    bit_count(xor(${toSigned("s1")}, ${toSigned("s2")})) hamming FROM cand)
+         |SELECT doc_id_1, doc_id_2, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 8""".stripMargin,
+    // Rolling base-31 fingerprint + simhash, both mod-2^64 in SQL.
+    "q37_fingerprints" ->
+      s"""WITH ${simhashCtes(3)},
+         |fp AS (SELECT doc_id, list_reduce(
+         |    list_prepend(0::HUGEINT, list_transform(string_split(text,''), c -> ord(c)::HUGEINT)),
+         |    (h, c) -> (h * 31 + c) % $M64::HUGEINT) f
+         |  FROM documents)
+         |SELECT doc_id, ${toSigned("f")} AS fingerprint, ${toSigned("sim")} AS simhash
+         |FROM fp JOIN sim USING (doc_id)""".stripMargin,
     "q22_knn_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -111,9 +111,12 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("sh1"), col("sh2"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (d1, d2, sh1, sh2) =>
-        (d1, d2, math.rint(Hashing.jaccard(sh1.toSet, sh2.toSet) * 1e4) / 1e4)
+        (d1, d2, Hashing.jaccard(sh1.toSet, sh2.toSet))
       }
       .toDF("doc_id_1", "doc_id_2", "jaccard")
+      // HALF_UP column round (not math.rint/half-even) so a tie at the 4th
+      // decimal rounds identically to the DuckDB oracle's round()
+      .withColumn("jaccard", round(col("jaccard"), 4))
       .where(col("jaccard") >= tau)
   }
 
