@@ -1,0 +1,103 @@
+package graft.ner
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPInputStream
+
+/** Loader for the reference's BINARY classifier serialization — the format
+  * every published Stanford model file and every `-loadClassifier x.ser.gz`
+  * invocation uses (CRFClassifier.serializeClassifier / loadClassifier,
+  * /root/reference/src/edu/stanford/nlp/ie/crf/CRFClassifier.java:1541-1612;
+  * gzip by extension, IOUtils.writeStreamFromString). A user with a stock
+  * `.ser.gz` model can now run it on this engine directly.
+  *
+  * Stream contents, in order (loadClassifier, CRFClassifier.java:1584-1612):
+  *   Index<CRFLabel>[] labelIndices; Index<String> classIndex;
+  *   Index<String> featureIndex; SeqClassifierFlags flags;
+  *   FeatureFactory featureFactory; int windowSize (raw writeInt);
+  *   double[][] weights; Set<String> knownLCWords.
+  * Parsed generically by JavaSerial (no reference classes on the classpath),
+  * then assembled exactly like the text bridge (RefModelAssembly).
+  *
+  * The flags bundle is VALIDATED, not ignored: our feature factory implements
+  * the conllNoTags template set, so a model trained with template-changing
+  * flags we don't implement (POS-tag features, distsim, gazettes) would
+  * silently mistag — reject it loudly instead.
+  */
+object RefBinaryModel {
+
+  import JavaSerial._
+
+  /** @param extraKnownLC words to grow knownLCWords with at load time (the
+    *   reference grows the serialized set with test-corpus words during its
+    *   ObjectBankWrapper pre-pass, ObjectBankWrapper.java:46-68; supply the
+    *   corpus-side words for exact tag parity, or nothing for frozen-set use).
+    */
+  def load(path: String, extraKnownLC: Set[String] = Set.empty): NerModel = {
+    val raw = Files.newInputStream(Paths.get(path))
+    val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    try {
+      val r = new Reader(in)
+      val labelIdxArr = r.readObject().asInstanceOf[Array[Any]]
+      val classIdxObj = r.readObject().asInstanceOf[JObj]
+      val featIdxObj = r.readObject().asInstanceOf[JObj]
+      val flags = r.readObject().asInstanceOf[JObj]
+      val factory = r.readObject().asInstanceOf[JObj]
+      val windowSize = r.readBlockInt()
+      val weightsArr = r.readObject().asInstanceOf[Array[Any]]
+      val knownLCObj = r.readObject()
+
+      validateFlags(flags, factory)
+
+      def indexObjects(v: Any): Vector[Any] = {
+        val o = v.asInstanceOf[JObj]
+        require(o.className == "edu.stanford.nlp.util.Index", s"expected Index, got ${o.className}")
+        asList(o("objects"))
+      }
+      val labelWindows: Array[Array[Array[Int]]] = labelIdxArr.map { idx =>
+        indexObjects(idx).map { lbl =>
+          val o = lbl.asInstanceOf[JObj]
+          require(o.className == "edu.stanford.nlp.ie.crf.CRFLabel", o.className)
+          o("label").asInstanceOf[Array[Int]].clone()
+        }.toArray
+      }
+      val classIndex = indexObjects(classIdxObj).map(_.asInstanceOf[String]).toArray
+      val featStrings = indexObjects(featIdxObj).map(_.asInstanceOf[String]).toArray
+      val weights = weightsArr.map(_.asInstanceOf[Array[Double]])
+      val knownLC = asSet(knownLCObj).map(_.asInstanceOf[String]).toSet
+
+      RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
+        weights, knownLC ++ extraKnownLC)
+    } finally in.close()
+  }
+
+  /** Reject models whose flags select feature templates outside our
+    * implemented (conllNoTags) set. Boolean field expectations; a missing
+    * field (older/newer flag versions) passes — the stream's own classdesc
+    * governs what exists.
+    */
+  private def validateFlags(flags: JObj, factory: JObj): Unit = {
+    require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
+    require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
+      s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
+    val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim", "useGazettes",
+      "useOccurrencePatterns", "useParenMatching", "useABGENE", "useWEB", "useSymTags",
+      "useReverse")
+    for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
+      case b: Boolean => require(!b,
+        s"model was trained with -$f: that feature family is not in this engine's template set")
+      case _ => ()
+    }
+    val mustBeTrue = Seq("useNGrams", "noMidNGrams", "useDisjunctive", "usePrev", "useNext",
+      "useWordPairs", "useSequences", "usePrevSequences", "useTypeSeqs", "useTypeSeqs2",
+      "useTypeySequences", "useLastRealWord", "useNextRealWord", "useLongSequences",
+      "useBoundarySequences", "useObservedSequencesOnly")
+    for (f <- mustBeTrue; v <- flags.fields.get(f)) v match {
+      case b: Boolean => require(b, s"model was trained without -$f; template set mismatch")
+      case _ => ()
+    }
+    for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
+    for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
+      s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
+    for (v <- flags.fields.get("maxNGramLeng")) require(v == -1, s"maxNGramLeng $v != -1")
+  }
+}

@@ -67,35 +67,59 @@ object RefTextModel {
         weights(f) = l.substring(l.indexOf('\t') + 1).split(" ").map(_.toDouble)
         f += 1
       }
-      // clique group from the feature suffix after the last '|'
-      val groupOfSuffix = Map("C" -> 0, "CpC" -> 1, "CnC" -> 1,
-        "Cp2C" -> 2, "CpCp2C" -> 2, "CpCnC" -> 2,
-        "Cp3C" -> 3, "CpCp2Cp3C" -> 3, "Cp4C" -> 4, "CpCp2Cp3Cp4C" -> 4, "Cp5C" -> 5)
-      val featGroup = featStrings.map { s =>
-        val sfx = s.substring(s.lastIndexOf('|') + 1)
-        groupOfSuffix.getOrElse(sfx, throw new IllegalArgumentException(s"unknown clique suffix in '$s'"))
-      }
-      // weightCol(g): mixed-radix window encoding -> column (observed-only
-      // windows get columns; the rest stay -1 = forbidden, matching the
-      // reference's NEGATIVE_INFINITY-filled FactorTable, FactorTable.java:28)
-      val weightCol = Array.tabulate(numGroups) { g =>
-        val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
-        labelWindows(g).zipWithIndex.foreach { case (win, k) =>
-          require(win.length == g + 1, s"group $g window length ${win.length}")
-          var enc = 0
-          win.foreach(y => enc = enc * numClasses + y)
-          cols(enc) = k
-        }
-        cols
-      }
-      val numCols = Array.tabulate(numGroups)(g => labelWindows(g).length)
-      featGroup.zipWithIndex.foreach { case (g, i) =>
-        require(weights(i).length == numCols(g),
-          s"feature $i '${featStrings(i)}' group $g: row ${weights(i).length} != ${numCols(g)}")
-      }
-      val layout = new WeightLayout(numClasses, windowSize,
-        classIndex.indexOf("O"), featGroup, weightCol, numCols)
-      new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC)
+      RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize, weights, knownLC)
     } finally r.close()
+  }
+}
+
+/** Shared assembly of a reference model bundle (text OR binary serialization)
+  * into our NerModel: clique group from the feature suffix, observed-only
+  * label-window columns, weight layout.
+  */
+private[ner] object RefModelAssembly {
+
+  def build(
+      labelWindows: Array[Array[Array[Int]]],
+      classIndex: Array[String],
+      featStrings: Array[String],
+      windowSize: Int,
+      weights: Array[Array[Double]],
+      knownLC: Set[String]): NerModel = {
+    val numGroups = labelWindows.length
+    val numClasses = classIndex.length
+    require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
+    require(weights.length == featStrings.length,
+      s"weights rows ${weights.length} != features ${featStrings.length}")
+    val featureIndex = new java.util.HashMap[String, Integer](featStrings.length * 2)
+    featStrings.zipWithIndex.foreach { case (s, i) => featureIndex.put(s, Integer.valueOf(i)) }
+    // clique group from the feature suffix after the last '|'
+    val groupOfSuffix = Map("C" -> 0, "CpC" -> 1, "CnC" -> 1,
+      "Cp2C" -> 2, "CpCp2C" -> 2, "CpCnC" -> 2,
+      "Cp3C" -> 3, "CpCp2Cp3C" -> 3, "Cp4C" -> 4, "CpCp2Cp3Cp4C" -> 4, "Cp5C" -> 5)
+    val featGroup = featStrings.map { s =>
+      val sfx = s.substring(s.lastIndexOf('|') + 1)
+      groupOfSuffix.getOrElse(sfx, throw new IllegalArgumentException(s"unknown clique suffix in '$s'"))
+    }
+    // weightCol(g): mixed-radix window encoding -> column (observed-only
+    // windows get columns; the rest stay -1 = forbidden, matching the
+    // reference's NEGATIVE_INFINITY-filled FactorTable, FactorTable.java:28)
+    val weightCol = Array.tabulate(numGroups) { g =>
+      val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
+      labelWindows(g).zipWithIndex.foreach { case (win, k) =>
+        require(win.length == g + 1, s"group $g window length ${win.length}")
+        var enc = 0
+        win.foreach(y => enc = enc * numClasses + y)
+        cols(enc) = k
+      }
+      cols
+    }
+    val numCols = Array.tabulate(numGroups)(g => labelWindows(g).length)
+    featGroup.zipWithIndex.foreach { case (g, i) =>
+      require(weights(i).length == numCols(g),
+        s"feature $i '${featStrings(i)}' group $g: row ${weights(i).length} != ${numCols(g)}")
+    }
+    val layout = new WeightLayout(numClasses, windowSize,
+      classIndex.indexOf("O"), featGroup, weightCol, numCols)
+    new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC)
   }
 }

@@ -78,4 +78,47 @@ class RefBridgeSpec extends AnyFunSuite {
     val sample = disagreements.result().take(8)
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${sample.mkString("\n")}")
   }
+
+  test("BINARY .ser.gz bundle loads directly (generic java-serialization parser) and reproduces the tags") {
+    // Runs after the text-bridge test in suite order, reusing its artifacts.
+    val dir = "/tmp/refbridge"
+    assume(Files.exists(Paths.get(s"$dir/ref.ser.gz")), "binary bundle not present (bridge test skipped?)")
+
+    // knownLCWords comes OUT OF THE BUNDLE this time (it is serialized state,
+    // CRFClassifier.java:1560) — only the test-corpus pre-pass words are added
+    // at load, mirroring the reference's ObjectBankWrapper growth at tag time.
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    info(s"binary model: ${model.numFeatures} features, serialized knownLC grown to ${model.knownLC.size}")
+
+    // serialized knownLCWords == train-side pre-pass words (sanity on the
+    // deserialized Set<String> content, not just its size)
+    val binOnly = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz")
+    assert(binOnly.knownLC == lcWords("train.tsv"),
+      s"serialized knownLC mismatch: only-bin=${(binOnly.knownLC -- lcWords("train.tsv")).take(5)} " +
+        s"only-train=${(lcWords("train.tsv") -- binOnly.knownLC).take(5)}")
+
+    // weights must equal the text export bit-for-bit (text uses %s of double
+    // which round-trips exactly through toString/parseDouble)
+    val txt = RefTextModel.load(s"$dir/ref.txt.gz", knownLC = model.knownLC)
+    assert(txt.numFeatures == model.numFeatures)
+    for (f <- 0 until txt.numFeatures)
+      assert(java.util.Arrays.equals(txt.weights(f), model.weights(f)), s"weight row $f differs")
+
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      for (i <- 0 until n) { if (ours(i) == theirs(i)) agree += 1; total += 1 }
+    }
+    val agreement = agree.toDouble / total
+    info(f"binary-bundle token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
 }
