@@ -40,7 +40,10 @@ object NerFeatures {
   /** Features for all clique groups at `loc`. Returns one array of suffixed,
     * de-duplicated feature strings per group (length = WindowSize).
     */
-  def featuresAt(toks: IndexedSeq[Tok], loc: Int): Array[Array[String]] = {
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int): Array[Array[String]] =
+    featuresAt(toks, loc, Gazette.empty)
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -85,6 +88,21 @@ object NerFeatures {
       g0.add(at(loc + d).word + "-DISJN|C")
       g0.add(at(loc - d).word + "-DISJP|C")
       d += 1
+    }
+    // useGazettes (NERFeatureFactory.java:1211-1232): sloppy = feature on any
+    // word hit; clean = feature only when the whole phrase matches around loc
+    // (pad word "" never matches a phrase word)
+    if (!gaz.isEmpty) {
+      gaz.sloppy.get(cWord).foreach(_.foreach(f => g0.add(f + "|C")))
+      gaz.clean.get(cWord).foreach(_.foreach { e =>
+        var ok = true
+        var gl = 0
+        while (ok && gl < e.words.length) {
+          ok = e.words(gl) == at(loc + gl - e.loc).word
+          gl += 1
+        }
+        if (ok) g0.add(e.feature + "|C")
+      })
     }
 
     // ---- group 1: CpC (CnC inactive: useNextSequences off) ----

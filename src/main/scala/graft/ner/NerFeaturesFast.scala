@@ -86,7 +86,11 @@ object NerFeaturesFast {
     * dropped, matching CRFClassifier.java:200-207.
     * Returns per-group arrays sliced from scratch.
     */
-  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch): Array[Array[Int]] = {
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, Gazette.empty)
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -149,6 +153,28 @@ object NerFeaturesFast {
       emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
       emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
       d += 1
+    }
+    // useGazettes: hashes precomputed at gazette build (string path parity
+    // pinned by FeatureParitySpec); emission point mirrors NerFeatures
+    if (!gaz.isEmpty) {
+      gaz.sloppyHashes.get(cWord).foreach { fs =>
+        var k = 0
+        while (k < fs.length) { emit(fs(k)); k += 1 }
+      }
+      gaz.cleanHashes.get(cWord).foreach { es =>
+        var k = 0
+        while (k < es.length) {
+          val (e, fh) = es(k)
+          var ok = true
+          var gl = 0
+          while (ok && gl < e.words.length) {
+            ok = e.words(gl) == at(loc + gl - e.loc).word
+            gl += 1
+          }
+          if (ok) emit(fh)
+          k += 1
+        }
+      }
     }
     val g0n = resolve(0, dict, scratch, hn)
 

@@ -21,7 +21,8 @@ final class NerModel(
     val featureIndex: java.util.HashMap[String, Integer],
     val layout: WeightLayout,
     val weights: Array[Array[Double]],
-    val knownLC: Set[String]
+    val knownLC: Set[String],
+    val gazette: Gazette = Gazette.empty
 ) extends Serializable {
 
   @transient lazy val params: Crf.Params =
@@ -76,7 +77,7 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s)
+      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette)
       pos += 1
     }
     out
@@ -97,7 +98,7 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      val byGroup = NerFeatures.featuresAt(toks, pos)
+      val byGroup = NerFeatures.featuresAt(toks, pos, gazette)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -191,6 +192,8 @@ object NerModel {
       }
       w.write(s"${m.knownLC.size}\n")
       m.knownLC.toSeq.sorted.foreach { s => w.write(s); w.write("\n") }
+      // v3 trailer (optional; absent = no gazette — v2 files stay loadable)
+      if (!m.gazette.isEmpty) Gazette.writeTrailer(m.gazette, w)
     } finally w.close()
   }
 
@@ -229,8 +232,13 @@ object NerModel {
       }
       val nLC = r.readLine().toInt
       val knownLC = (0 until nLC).map(_ => r.readLine()).toSet
+      val gazette = r.readLine() match {
+        case null => Gazette.empty
+        case line if line.startsWith("gazette\t") => Gazette.readTrailer(line, r)
+        case other => throw new IllegalArgumentException(s"unexpected model trailer: $other")
+      }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
-      new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC)
+      new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC, gazette)
     } finally r.close()
   }
 }

@@ -66,8 +66,32 @@ object RefBinaryModel {
       val knownLC = asSet(knownLCObj).map(_.asInstanceOf[String]).toSet
 
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
-        weights, knownLC ++ extraKnownLC)
+        weights, knownLC ++ extraKnownLC, gazetteOf(factory))
     } finally in.close()
+  }
+
+  /** Reconstruct the gazette from the factory's serialized lookup maps
+    * (wordToGazetteEntries / wordToGazetteInfos — exactly the state readGazette
+    * builds, NERFeatureFactory.java:682-727); empty maps = no gazette.
+    */
+  private def gazetteOf(factory: JObj): Gazette = {
+    val sloppy = factory.fields.get("wordToGazetteEntries").filter(_ != null).map { m =>
+      asMap(m).map { case (k, v) =>
+        k.asInstanceOf[String] -> asSet(v).map(_.asInstanceOf[String]).toArray
+      }.toMap
+    }.getOrElse(Map.empty[String, Array[String]])
+    val clean = factory.fields.get("wordToGazetteInfos").filter(_ != null).map { m =>
+      asMap(m).map { case (k, v) =>
+        k.asInstanceOf[String] -> asSet(v).map { gi =>
+          val o = gi.asInstanceOf[JObj]
+          Gazette.CleanEntry(
+            o("loc").asInstanceOf[Int],
+            o("words").asInstanceOf[Array[Any]].map(_.asInstanceOf[String]),
+            o("feature").asInstanceOf[String])
+        }.toArray
+      }.toMap
+    }.getOrElse(Map.empty[String, Array[Gazette.CleanEntry]])
+    if (sloppy.isEmpty && clean.isEmpty) Gazette.empty else new Gazette(sloppy, clean)
   }
 
   /** Reject models whose flags select feature templates outside our
@@ -79,7 +103,9 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim", "useGazettes",
+    // useGazettes IS supported: the factory's serialized gazette maps are
+    // reconstructed into our Gazette (gazetteOf)
+    val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim",
       "useOccurrencePatterns", "useParenMatching", "useABGENE", "useWEB", "useSymTags",
       "useReverse")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {

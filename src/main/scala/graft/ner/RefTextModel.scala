@@ -26,7 +26,7 @@ import java.util.zip.GZIPInputStream
   */
 object RefTextModel {
 
-  def load(path: String, knownLC: Set[String]): NerModel = {
+  def load(path: String, knownLC: Set[String], gazette: Gazette = Gazette.empty): NerModel = {
     val r = new BufferedReader(new InputStreamReader(
       new GZIPInputStream(Files.newInputStream(Paths.get(path))), "UTF-8"))
     try {
@@ -67,7 +67,8 @@ object RefTextModel {
         weights(f) = l.substring(l.indexOf('\t') + 1).split(" ").map(_.toDouble)
         f += 1
       }
-      RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize, weights, knownLC)
+      RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize, weights,
+        knownLC, gazette)
     } finally r.close()
   }
 }
@@ -84,7 +85,8 @@ private[ner] object RefModelAssembly {
       featStrings: Array[String],
       windowSize: Int,
       weights: Array[Array[Double]],
-      knownLC: Set[String]): NerModel = {
+      knownLC: Set[String],
+      gazette: Gazette = Gazette.empty): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -120,6 +122,6 @@ private[ner] object RefModelAssembly {
     }
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
-    new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC)
+    new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC, gazette)
   }
 }

@@ -3,7 +3,7 @@ package graft.train
 import breeze.linalg.DenseVector
 import breeze.optimize.{DiffFunction, LBFGS}
 import graft.core.Crf
-import graft.ner.{NerFeatures, NerModel}
+import graft.ner.{Gazette, NerFeatures, NerModel}
 import graft.text.WordShape
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
@@ -38,7 +38,10 @@ object Trainer {
       // label windows never seen in training are forbidden (-inf factor entries,
       // matching the reference's NEGATIVE_INFINITY-initialized FactorTable) and
       // carry no weight columns.
-      observedSequencesOnly: Boolean = true)
+      observedSequencesOnly: Boolean = true,
+      // useGazettes: TYPE-GAZn features from a broadcast gazette, sloppy/clean
+      // per the Gazette's modes (NERFeatureFactory.java:675-727,1211-1232)
+      gazette: Gazette = Gazette.empty)
 
   def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -59,13 +62,14 @@ object Trainer {
     val classIndex = (cfg.background +: labels.filterNot(_ == cfg.background)).toArray
     val classOf = classIndex.zipWithIndex.toMap
     val bcastKnownLC = sc.broadcast(knownLC)
+    val bcastGaz = sc.broadcast(cfg.gazette)
 
     // Pass 2: distinct (group, feature) strings -> driver-assembled dictionary.
     val distinctFeats: Array[(Int, String)] = docs
       .flatMap { d =>
         val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
         (0 until toks.length).iterator.flatMap { pos =>
-          val byGroup = NerFeatures.featuresAt(toks, pos)
+          val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
           byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
         }
       }
@@ -120,7 +124,7 @@ object Trainer {
       .map { d =>
         val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
         val dict = bcastDict.value
-        val enc = encodeWith(toks, dict)
+        val enc = encodeWith(toks, dict, bcastGaz.value)
         (enc, d.labels.map(classOf).toArray)
       }
       .cache()
@@ -173,7 +177,7 @@ object Trainer {
     val xStar = lbfgs.minimize(diff, x0)
     encoded.unpersist()
     val weights = layout.toRagged(xStar.data)
-    new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC)
+    new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette)
   }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then
@@ -182,11 +186,12 @@ object Trainer {
   def preprocess(words: IndexedSeq[String], knownLC: Set[String]): IndexedSeq[NerFeatures.Tok] =
     words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains)))
 
-  def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer]): Crf.EncodedDoc = {
+  def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
+      gaz: Gazette = Gazette.empty): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
-      out(pos) = NerFeatures.featuresAt(toks, pos).map { feats =>
+      out(pos) = NerFeatures.featuresAt(toks, pos, gaz).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

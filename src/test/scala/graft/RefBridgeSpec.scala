@@ -121,4 +121,70 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"binary-bundle token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement")
   }
+
+  test("GAZETTE differential: reference trained with -useGazettes matches our tags (binary bundle round-trip)") {
+    // Trains the reference WITH sloppy+clean gazette features on a synthetic
+    // gazette; loading its binary bundle reconstructs the gazette maps from
+    // the serialized feature factory, so our TYPE-GAZn templates + phrase
+    // matching must be byte-exact to keep token agreement at 100%.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refgaz"
+    RefFixtures.main(Array(dir))
+    // gazette over the synthetic vocabulary: full phrases, a title-bearing
+    // 3-word person, and a deliberately-absent org so non-matches exist
+    Files.writeString(Paths.get(s"$dir/gazette.txt"),
+      """PERSON Alice Johnson
+        |PERSON Dr. Carla Garcia
+        |PERSON Hiro Tanaka
+        |ORGANIZATION Acme Corp.
+        |ORGANIZATION Globex Inc.
+        |ORGANIZATION Wayne Systems
+        |LOCATION Berlin
+        |LOCATION Tokyo
+        |LOCATION Lagos
+        |""".stripMargin)
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refgaz.ser.gz",
+      "-conllNoTags", "true", "-gazette", s"$dir/gazette.txt",
+      "-sloppyGazette", "true", "-cleanGazette", "true") == 0, "reference gazette training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refgaz.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-gazette", s"$dir/gazette.txt",
+      "-sloppyGazette", "true", "-cleanGazette", "true")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refgaz.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(!model.gazette.isEmpty, "gazette maps not reconstructed from the bundle")
+    info(s"gazette model: ${model.numFeatures} features, " +
+      s"${model.gazette.sloppy.size} sloppy words, ${model.gazette.clean.size} clean words")
+    // gazette features actually made it into the trained dictionary
+    assert(model.featureIndex.containsKey("ORGANIZATION-GAZ2|C"), "no gazette feature in dictionary")
+
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"gazette-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }

@@ -49,6 +49,59 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(model.tag(Vector("see", "a" * 9000, ".")).length == 3)
   }
 
+  test("gazette features: fast path == string path; sloppy vs clean semantics") {
+    import graft.text.WordShape
+    val lines = Seq("PERSON Alice Johnson", "PERSON Dr. Carla Garcia",
+      "ORGANIZATION Acme Corp.", "ORGANIZATION Globex Inc.", "LOCATION Berlin")
+    def toksOf(words: Seq[String]) =
+      words.toIndexedSeq.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, Set.empty)))
+
+    // emission-order + hash parity between the two paths, with a dictionary
+    // built from the string path's own output
+    val gaz = Gazette.parse(lines)
+    val words = Vector("Dr.", "Carla", "Garcia", "met", "Acme", "Corp.", "in", "Berlin", ".")
+    val toks = toksOf(words)
+    val dict = new java.util.HashMap[String, Integer]()
+    for (pos <- toks.indices; g <- 0 until 3; f <- NerFeatures.featuresAt(toks, pos, gaz)(g))
+      if (!dict.containsKey(f)) dict.put(f, Integer.valueOf(dict.size))
+    val hash = new NerFeaturesFast.LongIntHash(dict.size)
+    dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
+    val scratch = new NerFeaturesFast.Scratch
+    for (pos <- toks.indices; g <- 0 until 3) {
+      val slow = NerFeatures.featuresAt(toks, pos, gaz)(g).map(f => dict.get(f).intValue).toSeq
+      val fast = NerFeaturesFast.idsAt(toks, pos, hash, scratch, gaz)(g).toSeq
+      assert(slow == fast, s"pos=$pos g=$g")
+    }
+
+    // sloppy: any phrase word fires TYPE-GAZn even without the full phrase
+    val sloppyOnly = Gazette.parse(lines, sloppyMode = true, cleanMode = false)
+    val partial = toksOf(Vector("Acme", "Holdings", "hired", "Garcia", "."))
+    assert(NerFeatures.featuresAt(partial, 0, sloppyOnly)(0).contains("ORGANIZATION-GAZ2|C"))
+    assert(NerFeatures.featuresAt(partial, 3, sloppyOnly)(0).contains("PERSON-GAZ3|C"))
+    // clean: fires only when the WHOLE phrase matches around the word
+    val cleanOnly = Gazette.parse(lines, sloppyMode = false, cleanMode = true)
+    assert(!NerFeatures.featuresAt(partial, 0, cleanOnly)(0).exists(_.contains("-GAZ")))
+    val full = toksOf(Vector("Dr.", "Carla", "Garcia", "left", "."))
+    for (pos <- 0 to 2) // every phrase word fires at its offset
+      assert(NerFeatures.featuresAt(full, pos, cleanOnly)(0).contains("PERSON-GAZ3|C"), s"pos=$pos")
+    // phrase straddling the document start must NOT match padding
+    val tail = toksOf(Vector("Garcia", "left", "."))
+    assert(!NerFeatures.featuresAt(tail, 0, cleanOnly)(0).exists(_.contains("PERSON-GAZ3")))
+
+    // model save/load round-trips the gazette trailer (v3)
+    val m0 = NerModels.default(SparkTestSession.spark).value
+    val withGaz = new NerModel(m0.classIndex, m0.backgroundIndex, m0.featureIndex,
+      m0.layout, m0.weights, m0.knownLC, gaz)
+    val tmp = java.nio.file.Files.createTempFile("gazmodel", ".gz").toString
+    NerModel.save(withGaz, tmp)
+    val re = NerModel.load(tmp)
+    assert(re.gazette.sloppy.view.mapValues(_.toSeq).toMap ==
+      gaz.sloppy.view.mapValues(_.toSeq).toMap)
+    assert(re.gazette.clean.view.mapValues(_.toSeq).toMap ==
+      gaz.clean.view.mapValues(_.toSeq).toMap)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
+  }
+
   test("tagging via fast path matches gold on held-out turns") {
     val model = NerModels.default(SparkTestSession.spark).value
     var correct = 0L; var total = 0L
