@@ -126,8 +126,31 @@ object Bench {
       f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f}""")
       .mkString("[", ",", "]")
 
-    // ---- headline queries at full parallelism ----
+    // ---- training-at-scale bench: distributed dictionary + Ehat + L-BFGS
+    // (treeAggregate gradient) over ~85k gold docs, fixed iteration budget;
+    // held-out token accuracy guards against a silently-broken objective ----
     val spark = session(cpus)
+    val trainConvs = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CONVS", "20000").toLong
+    val (trainSec, trainDocs, trainFeat, heldoutAcc) = {
+      import spark.implicits._
+      val docs = graft.pipeline.Transcripts.synthGold(spark, trainConvs, seed = 7L)
+        .map(g => graft.train.LabeledDoc(g.words, g.labels))
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val m = graft.train.Trainer.train(spark, docs, graft.train.Trainer.Config(maxIterations = 40))
+      val sec = (System.nanoTime() - t0) / 1e9
+      var ok = 0L; var tot = 0L
+      for (conv <- 0L until 2000L; t <- 0 until Transcripts.numTurns(8L, conv)
+           if !Transcripts.isToolTurn(8L, conv, t)) {
+        val (words, labels) = Transcripts.turnTokens(8L, conv, t)
+        val got = m.tag(words)
+        for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; tot += 1 }
+      }
+      System.err.println(f"[bench] train convs=$trainConvs docs=$nDocs sec=$sec%.1f features=${m.numFeatures} heldoutAcc=${ok.toDouble / tot}%.5f")
+      (sec, nDocs, m.numFeatures, ok.toDouble / tot)
+    }
+
+    // ---- headline queries at full parallelism ----
     val headline = Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders_per_customer",
       "q04_running_supplier_revenue", "q08_sessionize_events", "q11_tokens",
@@ -147,6 +170,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ner_turns":$turns,""" +
       levels.map(l => f""""turns_per_sec_$l":${tput(l)}%.1f""").mkString(",") + "," +
       f""""scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,""" +
+      f""""train_convs":$trainConvs,"train_docs":$trainDocs,"train_sec":$trainSec%.1f,""" +
+      f""""train_features":$trainFeat,"train_heldout_acc":$heldoutAcc%.5f,""" +
       f""""suspect":$suspect,"rep_variance_ratio":$varianceRatio%.2f,"ambient_load_min":$ambientLoad%.2f,""" +
       f""""cgroup_cpus":$cgroupCpus%.1f,"jvm_cpus":${Runtime.getRuntime.availableProcessors},"reps":$repsJson,""" +
       """"scaling_note":"levels interleaved round-robin, best-of per level; 2->8 cores is the clean software-scaling pair (both below physical core count); 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""

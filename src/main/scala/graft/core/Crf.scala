@@ -175,6 +175,55 @@ object Crf {
     labels
   }
 
+  /** Beam-limited decode (reference semantic: BeamBestSequenceFinder,
+    * /root/reference/src/edu/stanford/nlp/sequences/BeamBestSequenceFinder.java:176-230):
+    * keeps the `beamSize` highest-scoring label PREFIXES at each position —
+    * a sequence-level beam with no state merging, exactly like the
+    * reference's TagSeq beam (two prefixes ending in the same window both
+    * occupy slots). The speed/accuracy knob for wide label sets: cost is
+    * O(n * beam * C) independent of C^w; exactness at beamSize -> inf is
+    * property-tested against `viterbi`.
+    */
+  def beamViterbi(potentials: Array[Array[Double]], p: Params, beamSize: Int): Array[Int] = {
+    val C = p.numClasses
+    val S = p.numStates
+    val n = potentials.length
+    if (n == 0) return Array.emptyIntArray
+    require(beamSize >= 1)
+    // hypothesis = score + state + backpointer chain
+    final class Hyp(val prev: Hyp, val label: Int, val state: Int, val score: Double)
+    var beam = Array(new Hyp(null, -1, p.initState, 0.0))
+    var pos = 0
+    val cand = scala.collection.mutable.ArrayBuffer[Hyp]()
+    while (pos < n) {
+      val psi = potentials(pos)
+      cand.clear()
+      var i = 0
+      while (i < beam.length) {
+        val hcur = beam(i)
+        var c = 0
+        while (c < C) {
+          val fullEnc = hcur.state * C + c
+          val v = psi(fullEnc)
+          if (v != NegInf)
+            cand += new Hyp(hcur, c, fullEnc % S, hcur.score + v)
+          c += 1
+        }
+        i += 1
+      }
+      // top beamSize by score; stable on ties (insertion order) for determinism
+      beam = cand.zipWithIndex
+        .sortBy { case (hyp, idx) => (-hyp.score, idx) }
+        .take(beamSize).map(_._1).toArray
+      pos += 1
+    }
+    val labels = new Array[Int](n)
+    var hcur = beam(0)
+    var pos2 = n - 1
+    while (pos2 >= 0) { labels(pos2) = hcur.label; hcur = hcur.prev; pos2 -= 1 }
+    labels
+  }
+
   /** K-best Viterbi decode (reference semantic: KBestSequenceFinder,
     * /root/reference/src/edu/stanford/nlp/sequences/KBestSequenceFinder.java:19-23):
     * the k highest-scoring label sequences with their joint scores, best first.

@@ -124,6 +124,16 @@ final class NerModel(
 
   def numFeatures: Int = featureIndex.size
 
+  /** Beam-limited decode (BeamBestSequenceFinder surface; reference default
+    * beamSize = 30, SeqClassifierFlags.java:141). Faster than exact Viterbi
+    * when numStates is large; exact in the beamSize -> inf limit.
+    */
+  def tagBeam(words: IndexedSeq[String], beamSize: Int = 30): Array[String] = {
+    if (words.isEmpty) return Array.empty
+    val pots = Crf.logPotentials(encodeFast(words), params)
+    Crf.beamViterbi(pots, params, beamSize).map(classIndex)
+  }
+
   /** K-best label sequences with joint scores (KBestSequenceFinder surface). */
   def tagKBest(words: IndexedSeq[String], k: Int): Seq[(Seq[String], Double)] = {
     if (words.isEmpty) return Seq((Seq.empty, 0.0))

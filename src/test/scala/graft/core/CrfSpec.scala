@@ -72,6 +72,32 @@ class CrfSpec extends AnyFunSuite {
     }
   }
 
+  test("beam search: exact at full beam width, never beats exact, knob is real") {
+    val inexact = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val beams = Seq(1, 2, 4, 8, 30)
+    for (seed <- 1 to 8; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val (layout, flat, doc, _) = mkRandom(seed * 53, c, w, nFeat = 15, docLen = 6)
+      val p = layout.params(flat)
+      val pots = Crf.logPotentials(doc, p)
+      val scores = bruteScores(doc, p)
+      val exact = scores(Crf.viterbi(pots, p).toSeq)
+      // beamSize >= C^n covers every prefix -> must equal exact Viterbi score
+      val full = Crf.beamViterbi(pots, p, beamSize = math.pow(c, doc.length).toInt)
+      assert(math.abs(scores(full.toSeq) - exact) < 1e-9, s"seed=$seed c=$c w=$w")
+      for (b <- beams) {
+        val s = scores(Crf.beamViterbi(pots, p, b).toSeq)
+        assert(s <= exact + 1e-9, s"beam $b beat exact?! (seed=$seed c=$c w=$w)")
+        if (math.abs(s - exact) > 1e-9) inexact(b) += 1
+      }
+    }
+    // accuracy/speed tradeoff is real and goes the right way in aggregate
+    // (per-instance monotonicity is NOT guaranteed for sequence-level beams)
+    info(s"inexact runs of 32 by beam size: ${beams.map(b => s"$b->${inexact(b)}").mkString(", ")}")
+    assert(inexact(1) > 0, "greedy (beam=1) should miss the optimum somewhere")
+    assert(inexact(30) <= inexact(1))
+    assert(inexact(8) <= inexact(1))
+  }
+
   test("analytic gradient matches finite differences") {
     // mirrors the reference's StochasticDiffFunctionTester gradient check
     // (CRFClassifier.java:1077-1087)
