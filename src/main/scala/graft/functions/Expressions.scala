@@ -92,6 +92,66 @@ object GraftCosine {
   }
 }
 
+/** Distinct word n-gram shingles of lower(text) under the engine's token
+  * regex ([a-z0-9]+|[^a-z0-9\s]) — semantically identical to
+  *   array_distinct(transform(sequence(1, size(toks)-(n-1)),
+  *                  i => concat_ws(" ", slice(toks, i, n))))
+  * over regexp_extract_all, but one compiled pass: the higher-order-function
+  * chain interprets its lambdas per element and copies a slice per shingle
+  * (~10s for 5000 docs at sf0.1 — it dominated q18), this is ~0.3s.
+  * Returns an EMPTY array when the document has fewer than n tokens.
+  */
+case class GraftShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftShingles.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingles.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles"
+}
+
+object GraftShingles {
+  // same token alphabet as SparkEntry.TokPat / TextAnalysis.tokensCol
+  private val TokPat = java.util.regex.Pattern.compile("[a-z0-9]+|[^a-z0-9\\s]")
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // UTF8String.toLowerCase = locale-independent lower, same as Spark's lower()
+    val s = text.toLowerCase.toString
+    val m = TokPat.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(m.group())
+    val nt = toks.size
+    if (nt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // first-occurrence-ordered distinct, matching array_distinct
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= nt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Column-API wrappers (require register(spark) once per session). */
   def graft_shape(c: Column): Column =
@@ -100,6 +160,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_fnv64", c)
   def graft_cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def graft_shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(s"graft_shingles_$n", c)
 
   /** Register for SQL: SELECT graft_shape(word), graft_fnv64(text) ... */
   def register(spark: SparkSession): Unit = {
@@ -109,5 +171,8 @@ object GraftFunctions {
       "graft_fnv64", exprs => GraftFnv64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => GraftCosine(exprs(0), exprs(1)), "built-in")
+    for (n <- 1 to 8) // one registered name per shingle width (n is static)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_shingles_$n", exprs => GraftShingles(exprs.head, n), "built-in")
   }
 }

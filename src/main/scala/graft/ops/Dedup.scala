@@ -49,18 +49,17 @@ object Dedup {
       maxShingleFreq: Int = 200): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = TextAnalysis.tokensCol(lower(col("text")))
-    // distinct word n-gram strings per doc (SQL-portable: transform over
-    // indexes). Docs with < n tokens MUST short-circuit to an empty array:
-    // sequence(1, size-(n-1)) steps DOWNWARD when size < n ([1,0]) and
-    // slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START.
+    graft.functions.GraftFunctions.register(spark)
+    // Distinct word n-gram shingles per doc via the native codegen'd
+    // expression (empty array for docs with < n tokens — round-1 review
+    // finding: the interpreted sequence/slice formulation both CRASHED on
+    // short docs and cost ~10s/5000 docs). The shingle table is materialized
+    // ONCE (localCheckpoint): three consumers (sizes + both self-join sides)
+    // would otherwise re-tokenize the corpus each.
     val grams = docs.select(col("doc_id"),
-      when(size(toks) >= n,
-        array_distinct(
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))
-        .otherwise(array().cast("array<string>")).as("shingles"))
+      graft.functions.GraftFunctions.graft_shingles(col("text"), n).as("shingles"))
       .where(size(col("shingles")) > 0)
+      .localCheckpoint()
     val sizes = grams.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val exploded = grams.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val filtered = exploded

@@ -39,6 +39,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = ConnectedComponents.run(edges.toDS(), maxIter = 12).collect()
     assert(got.forall(_.getLong(1) == 0L), "all nodes should reach component 0")
   }
+
+  test("run() and link() leave no cached relations behind (no cacheManager leak)") {
+    // round-1 review finding: allNodes.cache()/surf.cache() leaked; the
+    // localCheckpoint replacements must register NOTHING in the cacheManager
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = (0L until 50L).map(i => (i, i + 1))
+    ConnectedComponents.run(edges.toDS()).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "CC.run leaked a cached relation")
+    val mentions = (0 until 200).map { i =>
+      Mention(f"conv$i%04d", 0, 0, if (i % 2 == 0) "PERSON" else "ORGANIZATION",
+        0, 10, if (i % 3 == 0) "Alice Johnson" else s"Acme Corp $i")
+    }.toDS()
+    EntityLink.link(mentions).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "EntityLink.link leaked a cached relation")
+  }
 }
 
 class EntityLinkSpec extends AnyFunSuite {
