@@ -297,6 +297,132 @@ object Crf {
     */
   final class Calibrated(val logZ: Double, val logMarginals: Array[Array[Double]])
 
+  /** Marginal + conditional query surface over a calibrated tree — the
+    * reference's CRFCliqueTree queries (logProb/prob at one or more positions,
+    * condLogProbGivenPrevious/Next; CRFCliqueTree.java:185-448). All values
+    * are normalized log-probabilities (our calibrated tables already divide
+    * by Z, so the reference's `- z` terms cancel identically).
+    *
+    * Deviation, documented: the reference's condLogProbGivenNext branches for
+    * |next|+1 != windowSize pass (next, label) to conditionalLogProbGivenPREVIOUS,
+    * transposing which end of the window is conditioned on — a latent bug in
+    * paths its own callers never exercise (CRFClassifier always conditions on
+    * exactly windowSize-1 labels). We compute the positionally correct
+    * conditional in every branch; the |next|+1 == windowSize branch matches
+    * the reference exactly.
+    */
+  final class Marginals(cal: Calibrated, p: Params) {
+    private val C = p.numClasses
+    private val w = p.windowSize
+
+    def length: Int = cal.logMarginals.length
+
+    private def enc(labels: Array[Int]): Int = {
+      var e = 0
+      var i = 0
+      while (i < labels.length) { e = e * C + labels(i); i += 1 }
+      e
+    }
+
+    /** Marginal table over the newest k window slots at pos (sumOutFront
+      * repeated w-k times, FactorTable.java:418-433).
+      */
+    private def reduced(pos: Int, k: Int): Array[Double] = {
+      require(k >= 1 && k <= w)
+      val full = cal.logMarginals(pos)
+      if (k == w) return full
+      val size = pow(C, k)
+      val t = Array.fill(size)(NegInf)
+      var e = 0
+      while (e < full.length) {
+        val v = full(e)
+        if (v != NegInf) {
+          val i = e % size
+          val cur = t(i)
+          t(i) =
+            if (cur == NegInf) v
+            else if (cur > v) cur + math.log1p(math.exp(v - cur))
+            else v + math.log1p(math.exp(cur - v))
+        }
+        e += 1
+      }
+      t
+    }
+
+    /** log P(labels end at pos): labels(last) is the label AT pos, the others
+      * precede it (CRFCliqueTree.logProb(int, int[]), :238-259). Lengths
+      * beyond windowSize chain via conditionals, exactly like the reference.
+      */
+    def logProb(pos: Int, labels: Array[Int]): Double = {
+      val len = labels.length
+      if (len < w) reduced(pos, len)(enc(labels))
+      else if (len == w) cal.logMarginals(pos)(enc(labels))
+      else {
+        var l = labels.slice(0, w)
+        var pos1 = pos - len + w
+        var lp = cal.logMarginals(pos1)(enc(l))
+        var prev = labels.slice(1, w)
+        var i = w
+        while (i < len) {
+          pos1 += 1
+          lp += condLogProbGivenPrevious(pos1, labels(i), prev)
+          System.arraycopy(prev, 1, prev, 0, prev.length - 1)
+          prev(prev.length - 1) = labels(i)
+          i += 1
+        }
+        lp
+      }
+    }
+
+    def logProb(pos: Int, label: Int): Double = logProb(pos, Array(label))
+    def prob(pos: Int, label: Int): Double = math.exp(logProb(pos, label))
+    def prob(pos: Int, labels: Array[Int]): Double = math.exp(logProb(pos, labels))
+
+    /** log P(y_pos = label | y_{pos-|prev|..pos-1} = prev); more than w-1
+      * conditioning labels truncate to the nearest w-1 (Markov property —
+      * same as CRFCliqueTree.condLogProbGivenPrevious, :353-367).
+      */
+    def condLogProbGivenPrevious(pos: Int, label: Int, prev: Array[Int]): Double = {
+      val k = prev.length + 1
+      if (k > w) return condLogProbGivenPrevious(pos, label, prev.takeRight(w - 1))
+      val t = reduced(pos, k)
+      val base = enc(prev) * C
+      var z = NegInf
+      var c = 0
+      while (c < C) {
+        val v = t(base + c)
+        if (v != NegInf)
+          z = if (z == NegInf) v
+              else if (z > v) z + math.log1p(math.exp(v - z))
+              else v + math.log1p(math.exp(z - v))
+        c += 1
+      }
+      t(base + label) - z
+    }
+
+    /** log P(y_pos = label | y_{pos+1..pos+|next|} = next); more than w-1
+      * conditioning labels truncate to the nearest w-1.
+      */
+    def condLogProbGivenNext(pos: Int, label: Int, next: Array[Int]): Double = {
+      if (next.length + 1 > w) return condLogProbGivenNext(pos, label, next.take(w - 1))
+      val k = next.length + 1
+      val t = reduced(pos + next.length, k)
+      val stride = pow(C, k - 1)
+      val nextEnc = enc(next)
+      var z = NegInf
+      var c = 0
+      while (c < C) {
+        val v = t(c * stride + nextEnc)
+        if (v != NegInf)
+          z = if (z == NegInf) v
+              else if (z > v) z + math.log1p(math.exp(v - z))
+              else v + math.log1p(math.exp(z - v))
+        c += 1
+      }
+      t(label * stride + nextEnc) - z
+    }
+  }
+
   def forwardBackward(potentials: Array[Array[Double]], p: Params): Calibrated = {
     val C = p.numClasses
     val S = p.numStates

@@ -124,6 +124,15 @@ final class NerModel(
 
   def numFeatures: Int = featureIndex.size
 
+  /** Calibrated marginal/conditional query surface for one document — the
+    * reference's CRFCliqueTree queries (prob / logProb at one or more
+    * positions, condLogProbGivenPrevious/Next; CRFCliqueTree.java:185-448).
+    * Label indices follow `classIndex`/`classOf`.
+    */
+  def cliqueTree(words: IndexedSeq[String]): Crf.Marginals =
+    new Crf.Marginals(
+      Crf.forwardBackward(Crf.logPotentials(encodeFast(words), params), params), params)
+
   /** Beam-limited decode (BeamBestSequenceFinder surface; reference default
     * beamSize = 30, SeqClassifierFlags.java:141). Faster than exact Viterbi
     * when numStates is large; exact in the beamSize -> inf limit.

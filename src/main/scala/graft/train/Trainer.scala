@@ -41,7 +41,18 @@ object Trainer {
       observedSequencesOnly: Boolean = true,
       // useGazettes: TYPE-GAZn features from a broadcast gazette, sloppy/clean
       // per the Gazette's modes (NERFeatureFactory.java:675-727,1211-1232)
-      gazette: Gazette = Gazette.empty)
+      gazette: Gazette = Gazette.empty,
+      // drop C/CpC features whose ONLY corpus occurrence is at a background
+      // position (CRFClassifier.java:430-451; flag default false,
+      // SeqClassifierFlags.java:354) — the big memory lever at web-corpus
+      // feature counts, where hapax background features dominate the dictionary
+      removeBackgroundSingletonFeatures: Boolean = false,
+      // prune-retrain iterations (CRFClassifier.train loop, :940-946,1102-1105):
+      // after each training round but the last, drop features whose weight-row
+      // range (max - min) is NOT strictly above featureDiffThresh, re-encode,
+      // retrain
+      numTimesPruneFeatures: Int = 0,
+      featureDiffThresh: Double = 0.0)
 
   def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -65,29 +76,60 @@ object Trainer {
     val bcastGaz = sc.broadcast(cfg.gazette)
 
     // Pass 2: distinct (group, feature) strings -> driver-assembled dictionary.
-    val distinctFeats: Array[(Int, String)] = docs
-      .flatMap { d =>
-        val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
-        (0 until toks.length).iterator.flatMap { pos =>
-          val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
-          byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
-        }
+    // With removeBackgroundSingletonFeatures, C/CpC features are kept only if
+    // they occur at >= 1 non-background position or >= 2 background positions
+    // (the order-independent restatement of the reference's seenBackground
+    // promote/demote sets, CRFClassifier.java:430-451; a CpC position counts
+    // as background only when positions j AND j-1 are both background).
+    val bg = cfg.background
+    val sorted: Array[(Int, String)] =
+      if (!cfg.removeBackgroundSingletonFeatures) {
+        docs.flatMap { d =>
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          (0 until toks.length).iterator.flatMap { pos =>
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
+            byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
+          }
+        }.distinct().collect().sortBy(t => (t._1, t._2))
+      } else {
+        import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+        docs.flatMap { d =>
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          val lab = d.labels.toIndexedSeq
+          (0 until toks.length).iterator.flatMap { pos =>
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
+            byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
+              val isBg =
+                if (g == 0) lab(pos) == bg
+                else if (g == 1) lab(pos) == bg && (pos == 0 || lab(pos - 1) == bg)
+                else false // rule applies to k < 2 only (CRFClassifier.java:430)
+              fs.iterator.map(f => (g, f, isBg))
+            }
+          }
+        }.toDF("g", "f", "is_bg")
+          .groupBy(col("g"), col("f"))
+          .agg(sum(when(col("is_bg"), 0L).otherwise(1L)).as("n_fg"),
+            sum(when(col("is_bg"), 1L).otherwise(0L)).as("n_bg"))
+          .where(col("g") >= 2 || col("n_fg") >= 1 || col("n_bg") >= 2)
+          .select(col("g"), col("f")).as[(Int, String)]
+          .collect().sortBy(t => (t._1, t._2))
       }
-      .distinct().collect()
-    // deterministic ids: sort by (group, feature string)
-    val sorted = distinctFeats.sortBy(t => (t._1, t._2))
-    val featureIndex = new java.util.HashMap[String, Integer](sorted.length * 2)
-    val featGroup = new Array[Int](sorted.length)
+    var featureIndex = new java.util.HashMap[String, Integer](sorted.length * 2)
+    var featGroup = new Array[Int](sorted.length)
+    var featStrings = new Array[String](sorted.length)
     var f = 0
     while (f < sorted.length) {
       featureIndex.put(sorted(f)._2, Integer.valueOf(f))
+      featStrings(f) = sorted(f)._2
       featGroup(f) = sorted(f)._1
       f += 1
     }
     val numClasses = classIndex.length
     val w = NerFeatures.WindowSize
-    val layout =
-      if (!cfg.observedSequencesOnly) WeightLayout.fullProduct(numClasses, w, 0, featGroup)
+    // observed-window layout pieces depend only on labels: compute once,
+    // rebuild the layout per prune iteration as featGroup shrinks
+    val windowCols: Option[(Array[Array[Int]], Array[Int])] =
+      if (!cfg.observedSequencesOnly) None
       else {
         // observed label windows per clique group (CRFClassifier.java:482-489)
         val classOfB = sc.broadcast(classOf)
@@ -108,75 +150,111 @@ object Trainer {
             .foreach { case (enc, k) => cols(enc) = k }
           cols
         }
-        val numCols = weightCol.map(_.count(_ >= 0))
-        new WeightLayout(numClasses, w, 0, featGroup, weightCol, numCols)
+        Some((weightCol, weightCol.map(_.count(_ >= 0))))
       }
-    val bcastDict = sc.broadcast(featureIndex)
+    def mkLayout(fg: Array[Int]): WeightLayout = windowCols match {
+      case None => WeightLayout.fullProduct(numClasses, w, 0, fg)
+      case Some((weightCol, numCols)) => new WeightLayout(numClasses, w, 0, fg, weightCol, numCols)
+    }
 
-    // Pass 3: encode the corpus once and cache it (reference: documentsToDataAndLabels,
-    // CRFClassifier.java:313-348 — its in-RAM int[][][][] becomes a cached Dataset).
     implicit val encEnc: Encoder[(Array[Array[Array[Int]]], Array[Int])] =
       Encoders.kryo[(Array[Array[Array[Int]]], Array[Int])]
     val nDocs = docs.count()
     val parts = math.max(1, math.min(sc.defaultParallelism, (nDocs / 50 + 1).toInt))
-    val encoded = docs
-      .repartition(parts)
-      .map { d =>
-        val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
-        val dict = bcastDict.value
-        val enc = encodeWith(toks, dict, bcastGaz.value)
-        (enc, d.labels.map(classOf).toArray)
-      }
-      .cache()
-    encoded.count() // materialize
-    docs.unpersist()
-
-    val bLayout = sc.broadcast(layout)
-    val n = layout.totalSize
     val lbfgs = new LBFGS[DenseVector[Double]](
       maxIter = cfg.maxIterations, m = cfg.lbfgsMemory, tolerance = cfg.tolerance)
     val sigmaSq = cfg.sigma * cfg.sigma
 
-    val diff = new DiffFunction[DenseVector[Double]] {
-      def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
-        val bw = sc.broadcast(x.data)
-        // locals only: referencing the enclosing DiffFunction's fields from the
-        // task closures would pull this (non-serializable) object into the task
-        val layoutRef = bLayout
-        val partials = encoded.rdd.mapPartitions { it =>
-          val lay = layoutRef.value
-          val p = lay.params(bw.value) // ragged view built once per partition
-          val g = new Array[Double](lay.totalSize)
-          var v = 0.0
-          it.foreach { case (doc, lab) => v += CrfObjective.docValueGrad(doc, lab, p, lay, g) }
-          Iterator.single((v, g))
-        }
-        val (value, grad) = partials.treeReduce(
-          { case ((v1, g1), (v2, g2)) =>
-            var i = 0
-            while (i < g1.length) { g1(i) += g2(i); i += 1 }
-            (v1 + v2, g1)
-          },
-          depth = 2)
-        bw.destroy()
-        val g = if (grad == null) new Array[Double](n) else grad
-        // quadratic prior
-        var v = value
-        var i = 0
-        while (i < n) {
-          val xi = x.data(i)
-          v += xi * xi / (2.0 * sigmaSq)
-          g(i) += xi / sigmaSq
-          i += 1
-        }
-        (v, DenseVector(g))
-      }
-    }
+    // train loop with optional prune-retrain rounds (reference loop shape:
+    // CRFClassifier.train, :940-946,1102-1105 — each round re-encodes against
+    // the pruned dictionary, trains, and all but the last round prune)
+    var layout: WeightLayout = null
+    var weights: Array[Array[Double]] = null
+    var iter = 0
+    while (iter <= cfg.numTimesPruneFeatures) {
+      layout = mkLayout(featGroup)
+      val bcastDict = sc.broadcast(featureIndex)
 
-    val x0 = DenseVector.zeros[Double](n)
-    val xStar = lbfgs.minimize(diff, x0)
-    encoded.unpersist()
-    val weights = layout.toRagged(xStar.data)
+      // encode the corpus once per round and cache it (reference:
+      // documentsToDataAndLabels, CRFClassifier.java:313-348)
+      val encoded = docs
+        .repartition(parts)
+        .map { d =>
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          val dict = bcastDict.value
+          val enc = encodeWith(toks, dict, bcastGaz.value)
+          (enc, d.labels.map(classOf).toArray)
+        }
+        .cache()
+      encoded.count() // materialize
+
+      val bLayout = sc.broadcast(layout)
+      val n = layout.totalSize
+      val diff = new DiffFunction[DenseVector[Double]] {
+        def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+          val bw = sc.broadcast(x.data)
+          // locals only: referencing the enclosing DiffFunction's fields from the
+          // task closures would pull this (non-serializable) object into the task
+          val layoutRef = bLayout
+          val partials = encoded.rdd.mapPartitions { it =>
+            val lay = layoutRef.value
+            val p = lay.params(bw.value) // ragged view built once per partition
+            val g = new Array[Double](lay.totalSize)
+            var v = 0.0
+            it.foreach { case (doc, lab) => v += CrfObjective.docValueGrad(doc, lab, p, lay, g) }
+            Iterator.single((v, g))
+          }
+          val (value, grad) = partials.treeReduce(
+            { case ((v1, g1), (v2, g2)) =>
+              var i = 0
+              while (i < g1.length) { g1(i) += g2(i); i += 1 }
+              (v1 + v2, g1)
+            },
+            depth = 2)
+          bw.destroy()
+          val g = if (grad == null) new Array[Double](n) else grad
+          // quadratic prior
+          var v = value
+          var i = 0
+          while (i < n) {
+            val xi = x.data(i)
+            v += xi * xi / (2.0 * sigmaSq)
+            g(i) += xi / sigmaSq
+            i += 1
+          }
+          (v, DenseVector(g))
+        }
+      }
+
+      val xStar = lbfgs.minimize(diff, DenseVector.zeros[Double](n))
+      encoded.unpersist(blocking = true)
+      weights = layout.toRagged(xStar.data)
+
+      if (iter != cfg.numTimesPruneFeatures) {
+        // dropFeaturesBelowThreshold (CRFClassifier.java:140-166): keep only
+        // features whose weight-row range is strictly above the threshold;
+        // surviving features keep their relative order
+        val keep = (0 until featStrings.length).filter { i =>
+          val row = weights(i)
+          var mn = row(0); var mx = row(0)
+          var j = 1
+          while (j < row.length) { if (row(j) > mx) mx = row(j); if (row(j) < mn) mn = row(j); j += 1 }
+          mx - mn > cfg.featureDiffThresh
+        }
+        System.err.println(s"[trainer] prune round ${iter + 1}: ${featStrings.length} -> ${keep.length} features (thresh ${cfg.featureDiffThresh})")
+        val newIndex = new java.util.HashMap[String, Integer](keep.length * 2)
+        val newGroup = new Array[Int](keep.length)
+        val newStrings = new Array[String](keep.length)
+        for ((old, nw) <- keep.zipWithIndex) {
+          newIndex.put(featStrings(old), Integer.valueOf(nw))
+          newStrings(nw) = featStrings(old)
+          newGroup(nw) = featGroup(old)
+        }
+        featureIndex = newIndex; featGroup = newGroup; featStrings = newStrings
+      }
+      iter += 1
+    }
+    docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette)
   }
 

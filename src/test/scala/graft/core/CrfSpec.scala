@@ -138,6 +138,62 @@ class CrfSpec extends AnyFunSuite {
     }
   }
 
+  test("marginal/conditional queries match enumeration (CRFCliqueTree surface)") {
+    def logAddAll(vs: Iterable[Double]): Double = math.log(vs.map(math.exp).sum)
+    for (seed <- 1 to 4; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val (layout, flat, doc, _) = mkRandom(seed * 97, c, w, nFeat = 12, docLen = 6)
+      val p = layout.params(flat)
+      val scores = bruteScores(doc, p)
+      val logZ = logAddAll(scores.values)
+      val post = scores.map { case (s, v) => s -> (v - logZ) } // normalized log-probs
+      val m = new Crf.Marginals(Crf.forwardBackward(Crf.logPotentials(doc, p), p), p)
+
+      def joint(cond: Seq[Int] => Boolean): Double =
+        logAddAll(post.collect { case (s, lp) if cond(s) => lp })
+
+      for (pos <- doc.indices) {
+        // single-label and multi-label end-anchored marginals, incl. len > w
+        for (len <- 1 to math.min(pos + 1, w + 2)) {
+          val rng = new scala.util.Random(seed * 1000 + pos * 10 + len)
+          val labels = Array.fill(len)(rng.nextInt(c))
+          val want = joint(s => (0 until len).forall(i => s(pos - len + 1 + i) == labels(i)))
+          val got = m.logProb(pos, labels)
+          assert(math.abs(got - want) < 1e-9 || (got == want),
+            s"logProb pos=$pos len=$len seed=$seed c=$c w=$w: got $got want $want")
+        }
+        // conditional given previous labels (1..w-1 of them)
+        for (k <- 1 until w; if pos - k >= 0) {
+          val rng = new scala.util.Random(seed * 2000 + pos * 10 + k)
+          val prev = Array.fill(k)(rng.nextInt(c))
+          val label = rng.nextInt(c)
+          val pPrev = joint(s => (0 until k).forall(i => s(pos - k + i) == prev(i)))
+          val pBoth = joint(s => s(pos) == label && (0 until k).forall(i => s(pos - k + i) == prev(i)))
+          val got = m.condLogProbGivenPrevious(pos, label, prev)
+          assert(math.abs(got - (pBoth - pPrev)) < 1e-9,
+            s"condPrev pos=$pos k=$k seed=$seed c=$c w=$w")
+        }
+        // conditional given next labels
+        for (k <- 1 until w; if pos + k < doc.length) {
+          val rng = new scala.util.Random(seed * 3000 + pos * 10 + k)
+          val next = Array.fill(k)(rng.nextInt(c))
+          val label = rng.nextInt(c)
+          val pNext = joint(s => (0 until k).forall(i => s(pos + 1 + i) == next(i)))
+          val pBoth = joint(s => s(pos) == label && (0 until k).forall(i => s(pos + 1 + i) == next(i)))
+          val got = m.condLogProbGivenNext(pos, label, next)
+          assert(math.abs(got - (pBoth - pNext)) < 1e-9,
+            s"condNext pos=$pos k=$k seed=$seed c=$c w=$w")
+        }
+      }
+      // truncation beyond the Markov horizon changes nothing
+      if (doc.length >= w + 2) {
+        val prevLong = Array.fill(w + 1)(0)
+        val a = m.condLogProbGivenPrevious(w + 1, 1 % c, prevLong)
+        val b = m.condLogProbGivenPrevious(w + 1, 1 % c, prevLong.takeRight(w - 1))
+        assert(math.abs(a - b) < 1e-12)
+      }
+    }
+  }
+
   test("empty and single-token documents") {
     val (layout, flat, _, _) = mkRandom(3, 3, 3, nFeat = 6, docLen = 1)
     val p = layout.params(flat)

@@ -1,0 +1,73 @@
+package graft.train
+
+import graft.pipeline.{SparkTestSession, Transcripts}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Feature-pruning semantics (the memory levers for web-corpus feature counts):
+  * removeBackgroundSingletonFeatures (CRFClassifier.java:430-451) and the
+  * prune-retrain loop / dropFeaturesBelowThreshold (:140-166,940-946,1102-1105).
+  */
+class TrainerPruneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def goldDocs(n: Long) = {
+    import spark.implicits._
+    Transcripts.synthGold(spark, n, seed = 21L).map(g => LabeledDoc(g.words, g.labels))
+  }
+
+  test("removeBackgroundSingletonFeatures: keep iff >=1 entity occurrence or >=2 background") {
+    import spark.implicits._
+    // hand-built corpus: 'zzqa' occurs ONCE at a background position (drop its
+    // C features); 'zzqb' twice at background positions (keep); 'zzqc' once
+    // but at an entity position (keep)
+    val docs = Seq(
+      LabeledDoc(Seq("zzqa", "Alice"), Seq("O", "PERSON")),
+      LabeledDoc(Seq("zzqb", "ran"), Seq("O", "O")),
+      LabeledDoc(Seq("zzqb", "slept"), Seq("O", "O")),
+      LabeledDoc(Seq("zzqc", "Bob"), Seq("PERSON", "PERSON"))).toDS()
+    val m = Trainer.train(spark, docs,
+      Trainer.Config(maxIterations = 3, removeBackgroundSingletonFeatures = true))
+    assert(!m.featureIndex.containsKey("#<zzqa>#|C"), "background singleton must be dropped")
+    assert(m.featureIndex.containsKey("#<zzqb>#|C"), "twice-at-background must be kept")
+    assert(m.featureIndex.containsKey("#<zzqc>#|C"), "entity occurrence must be kept")
+    // neighbor feature of zzqa emitted at the PERSON position survives
+    assert(m.featureIndex.containsKey("zzqa-PW|C"))
+    // CpC features ARE subject to the rule; CpCp2C (k=2) is NOT (k < 2 only)
+    assert(m.featureIndex.containsKey("PPSEQ|CpCp2C"))
+
+    // on a real corpus the dictionary shrinks but accuracy holds
+    val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
+    val pruned = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(maxIterations = 60, removeBackgroundSingletonFeatures = true))
+    info(s"dictionary: ${base.numFeatures} -> ${pruned.numFeatures} with background-singleton pruning")
+    assert(pruned.numFeatures < base.numFeatures)
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = pruned.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    info(f"held-out acc with pruning = ${ok.toDouble / total}%.4f over $total tokens")
+    assert(ok.toDouble / total >= 0.95)
+  }
+
+  test("prune-retrain loop drops low-range features and keeps accuracy") {
+    val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
+    val pruned = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(maxIterations = 60, numTimesPruneFeatures = 1, featureDiffThresh = 0.01))
+    info(s"dictionary: ${base.numFeatures} -> ${pruned.numFeatures} after 1 prune-retrain round")
+    assert(pruned.numFeatures < base.numFeatures)
+    // every surviving weight row has range > thresh in the FIRST round's
+    // solution; after retrain rows shift, but the dictionary must only shrink
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = pruned.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    info(f"held-out acc after prune-retrain = ${ok.toDouble / total}%.4f over $total tokens")
+    assert(ok.toDouble / total >= 0.95)
+  }
+}
