@@ -22,8 +22,20 @@ final class NerModel(
     val layout: WeightLayout,
     val weights: Array[Array[Double]],
     val knownLC: Set[String],
-    val gazette: Gazette = Gazette.empty
+    val gazette: Gazette = Gazette.empty,
+    // normalizeTerms (SeqClassifierFlags.java:99): preprocessing also
+    // Americanizes each word (ObjectBankWrapper.fix, :117-128); shape stays
+    // computed on the ORIGINAL word, like the timex fix
+    val normalizeTerms: Boolean = false
 ) extends Serializable {
+
+  /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
+    * lowercasing always (normalizeTimex is on in every 3-class preset),
+    * plus Americanize under normalizeTerms.
+    */
+  @inline private def fix(w: String): String =
+    if (normalizeTerms) graft.text.Americanize.fixWordNormalizeTerms(w)
+    else WordShape.fixWord(w)
 
   @transient lazy val params: Crf.Params =
     new Crf.Params(classIndex.length, layout.windowSize, backgroundIndex, layout.weightCol, weights)
@@ -61,7 +73,7 @@ final class NerModel(
   private def tok(w: String): NerFeatures.Tok = {
     var t = tokCache.get(w)
     if (t == null) {
-      t = NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains))
+      t = NerFeatures.Tok(fix(w), WordShape.dan2(w, knownLC.contains))
       if (tokCache.size < 2000000) tokCache.put(w, t) // bound executor memory
     }
     t
@@ -88,7 +100,7 @@ final class NerModel(
     * ordering (ObjectBankWrapper.java:131-155).
     */
   def preprocess(words: IndexedSeq[String]): IndexedSeq[NerFeatures.Tok] =
-    words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains)))
+    words.map(w => NerFeatures.Tok(fix(w), WordShape.dan2(w, knownLC.contains)))
 
   /** Encode a preprocessed document; features unseen at train time are dropped
     * (reference semantic: CRFClassifier.java:200-207).
@@ -211,7 +223,8 @@ object NerModel {
       }
       w.write(s"${m.knownLC.size}\n")
       m.knownLC.toSeq.sorted.foreach { s => w.write(s); w.write("\n") }
-      // v3 trailer (optional; absent = no gazette — v2 files stay loadable)
+      // v3 trailers (all optional; absent = defaults — v2 files stay loadable)
+      if (m.normalizeTerms) w.write("opt\tnormalizeTerms\ttrue\n")
       if (!m.gazette.isEmpty) Gazette.writeTrailer(m.gazette, w)
     } finally w.close()
   }
@@ -251,13 +264,18 @@ object NerModel {
       }
       val nLC = r.readLine().toInt
       val knownLC = (0 until nLC).map(_ => r.readLine()).toSet
-      val gazette = r.readLine() match {
-        case null => Gazette.empty
-        case line if line.startsWith("gazette\t") => Gazette.readTrailer(line, r)
-        case other => throw new IllegalArgumentException(s"unexpected model trailer: $other")
+      var gazette = Gazette.empty
+      var normalizeTerms = false
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
+        else if (line == "opt\tnormalizeTerms\ttrue") normalizeTerms = true
+        else throw new IllegalArgumentException(s"unexpected model trailer: $line")
+        line = r.readLine()
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
-      new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC, gazette)
+      new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
+        gazette, normalizeTerms)
     } finally r.close()
   }
 }

@@ -65,8 +65,9 @@ object RefBinaryModel {
       val weights = weightsArr.map(_.asInstanceOf[Array[Double]])
       val knownLC = asSet(knownLCObj).map(_.asInstanceOf[String]).toSet
 
+      val normalizeTerms = flags.fields.get("normalizeTerms").contains(true)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
-        weights, knownLC ++ extraKnownLC, gazetteOf(factory))
+        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms)
     } finally in.close()
   }
 

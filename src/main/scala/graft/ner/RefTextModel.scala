@@ -86,7 +86,8 @@ private[ner] object RefModelAssembly {
       windowSize: Int,
       weights: Array[Array[Double]],
       knownLC: Set[String],
-      gazette: Gazette = Gazette.empty): NerModel = {
+      gazette: Gazette = Gazette.empty,
+      normalizeTerms: Boolean = false): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -122,6 +123,7 @@ private[ner] object RefModelAssembly {
     }
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
-    new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC, gazette)
+    new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
+      gazette, normalizeTerms)
   }
 }

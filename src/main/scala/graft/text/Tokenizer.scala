@@ -26,6 +26,35 @@ object Tokenizer {
     "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov", "dec",
     "u.s", "u.k", "u.n", "a.m", "p.m", "e.g", "i.e")
 
+  /** SGML/XML/HTML tag spans (reference pattern `<[^>]*>`,
+    * PlainTextDocumentReaderAndWriter.java:31; StripTagsProcessor semantics).
+    */
+  private val SgmlTag = java.util.regex.Pattern.compile("<[^>]*>")
+
+  /** Tokenize with SGML tags removed — the plain-text reader path
+    * (PlainTextDocumentReaderAndWriter.java:56-70 folds tag tokens into
+    * whitespace; StripTagsProcessor.java deletes them). Offsets of surviving
+    * tokens still index the ORIGINAL text, so character-offset spans and
+    * invertibility are preserved; text inside tags never fuses with text
+    * outside (each untagged segment tokenizes independently, as the reference
+    * lexer would have produced a tag-token boundary there).
+    */
+  def tokenizeStripSgml(text: String): Vector[RawToken] = {
+    val m = SgmlTag.matcher(text)
+    val out = Vector.newBuilder[RawToken]
+    var segStart = 0
+    def emit(from: Int, until: Int): Unit =
+      if (until > from)
+        out ++= tokenize(text.substring(from, until))
+          .map(t => RawToken(t.word, t.begin + from, t.end + from))
+    while (m.find()) {
+      emit(segStart, m.start)
+      segStart = m.end
+    }
+    emit(segStart, text.length)
+    out.result()
+  }
+
   def tokenize(text: String): Vector[RawToken] = {
     val out = Vector.newBuilder[RawToken]
     val n = text.length

@@ -52,7 +52,10 @@ object Trainer {
       // range (max - min) is NOT strictly above featureDiffThresh, re-encode,
       // retrain
       numTimesPruneFeatures: Int = 0,
-      featureDiffThresh: Double = 0.0)
+      featureDiffThresh: Double = 0.0,
+      // normalizeTerms: Americanize during the word fix (off in every
+      // 3-class preset; ObjectBankWrapper.fix, :117-128)
+      normalizeTerms: Boolean = false)
 
   def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -63,8 +66,9 @@ object Trainer {
     // Subtlety: the reference's pre-pass iterates through processDocument, so
     // it sees TIMEX-FIXED words — "Monday" is collected as "monday" and the
     // later shape pass emits "WT-Xxk" for weekday tokens. Collect fixed words.
+    val normTerms = cfg.normalizeTerms
     val knownLC: Set[String] = docs
-      .flatMap(_.words.iterator.map(WordShape.fixWord)
+      .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
         .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
       .distinct().collect().toSet
 
@@ -85,7 +89,7 @@ object Trainer {
     val sorted: Array[(Int, String)] =
       if (!cfg.removeBackgroundSingletonFeatures) {
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
@@ -94,7 +98,7 @@ object Trainer {
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
@@ -180,7 +184,7 @@ object Trainer {
       val encoded = docs
         .repartition(parts)
         .map { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           val dict = bcastDict.value
           val enc = encodeWith(toks, dict, bcastGaz.value)
           (enc, d.labels.map(classOf).toArray)
@@ -255,14 +259,20 @@ object Trainer {
       iter += 1
     }
     docs.unpersist()
-    new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette)
+    new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
+      cfg.normalizeTerms)
   }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then
-    * timex fix — identical to NerModel.preprocess but usable pre-model.
+    * the word fix — identical to NerModel.preprocess but usable pre-model.
     */
-  def preprocess(words: IndexedSeq[String], knownLC: Set[String]): IndexedSeq[NerFeatures.Tok] =
-    words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, knownLC.contains)))
+  def preprocess(words: IndexedSeq[String], knownLC: Set[String],
+      normalizeTerms: Boolean = false): IndexedSeq[NerFeatures.Tok] =
+    words.map(w => NerFeatures.Tok(fixWord(w, normalizeTerms), WordShape.dan2(w, knownLC.contains)))
+
+  @inline private def fixWord(w: String, normalizeTerms: Boolean): String =
+    if (normalizeTerms) graft.text.Americanize.fixWordNormalizeTerms(w)
+    else WordShape.fixWord(w)
 
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
       gaz: Gazette = Gazette.empty): Crf.EncodedDoc = {

@@ -187,4 +187,82 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"gazette-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  test("NORMALIZE-TERMS differential: reference trained with -normalizeTerms matches our tags") {
+    // Corpus woven with British spellings + timex words so Americanize isn't a
+    // no-op; the binary bundle's flags carry normalizeTerms into our loader.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = Paths.get("/tmp/refnorm")
+    Files.createDirectories(dir)
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases, orgSuffixes}
+    def doc(i: Int): (Vector[String], Vector[String]) = {
+      val p = Vector(firstNames(i % firstNames.size), lastNames(i % lastNames.size))
+      val g = Vector(orgBases(i % orgBases.size), orgSuffixes(i % orgSuffixes.size))
+      val l = Vector(locations(i % locations.size))
+      (i % 4) match {
+        case 0 => (p ++ Vector("praised", "the", "colour", "and", "flavour", "."),
+          Vector("PERSON", "PERSON", "O", "O", "O", "O", "O", "O"))
+        case 1 => (g ++ Vector("opened", "a", "theatre", "in") ++ l ++ Vector("on", "Monday", "."),
+          Vector("ORGANIZATION", "ORGANIZATION", "O", "O", "O", "O", "LOCATION", "O", "O", "O"))
+        case 2 => (Vector("the", "neighbour", "met") ++ p ++ Vector("in") ++ l ++ Vector("."),
+          Vector("O", "O", "O", "PERSON", "PERSON", "O", "LOCATION", "O"))
+        case _ => (p ++ Vector("favourite", "programme", "is", "grey", "says") ++ g ++ Vector("."),
+          Vector("PERSON", "PERSON", "O", "O", "O", "O", "O", "ORGANIZATION", "ORGANIZATION", "O"))
+      }
+    }
+    def render(path: java.nio.file.Path, range: Range, meta: Option[java.nio.file.Path]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (i <- range) {
+        val (ws, ls) = doc(i)
+        for (k <- ws.indices) sb.append(ws(k)).append('\t').append(ls(k)).append('\n')
+        sb.append('\n')
+        mb.append(i).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(path, sb.toString)
+      meta.foreach(Files.writeString(_, mb.toString))
+    }
+    render(dir.resolve("train.tsv"), 0 until 240, None)
+    render(dir.resolve("test.tsv"), 1000 until 1080, Some(dir.resolve("meta.tsv")))
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refnorm.ser.gz",
+      "-conllNoTags", "true", "-normalizeTerms", "true") == 0, "normalizeTerms training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refnorm.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-normalizeTerms", "true")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    // knownLC growth at tag time sees the FIXED (americanized) test words
+    def lcWords(f: String): Set[String] = Files.readAllLines(dir.resolve(f)).asScala
+      .filter(_.nonEmpty).map(l => graft.text.Americanize.fixWordNormalizeTerms(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refnorm.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.normalizeTerms, "normalizeTerms flag not carried out of the bundle")
+    // americanized forms in the dictionary, British forms absent
+    assert(model.featureIndex.containsKey("#<color>#|C"), "expected americanized ngram in dictionary")
+    assert(!model.featureIndex.containsKey("#<colour>#|C"), "british ngram should have been normalized away")
+
+    val refTags = RefCompare.parseRefOutput(dir.resolve("ref_out.tsv"))
+    val meta = Files.readAllLines(dir.resolve("meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toInt, p(1).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((i, n), theirs) =>
+      val (words, _) = doc(i)
+      val ours = model.tag(words)
+      require(ours.length == n && theirs.length == n)
+      for (k <- 0 until n) {
+        if (ours(k) == theirs(k)) agree += 1
+        else bad += s"doc $i tok $k '${words(k)}': ours=${ours(k)} ref=${theirs(k)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"normalizeTerms-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }
