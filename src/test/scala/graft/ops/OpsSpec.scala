@@ -182,16 +182,49 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
-  test("batched decode stub: deterministic, schema-complete, batch-shaped") {
+  test("REAL codecs: PNG/WAV/GVID payloads decode deterministically, batch-shape invariant") {
     val media = Multimodal.withPayload(docs)
     val a = Multimodal.decode(media, batchSize = 7).collect().sortBy(_.doc_id)
     val b = Multimodal.decode(media, batchSize = 64).collect().sortBy(_.doc_id)
     assert(a.length == docs.count())
     assert(a.map(_.doc_id).toSeq == b.map(_.doc_id).toSeq)
-    // batch size must not change results (pure per-row fake decoder)
+    // batch size must not change results
     assert(a.zip(b).forall { case (x, y) =>
-      x.width == y.width && x.height == y.height && x.feature.toSeq == y.feature.toSeq })
-    assert(a.forall(r => r.feature.length == 8 && r.width >= 16 && r.n_bytes > 0))
-    assert(a.forall(r => Set("image", "audio", "video").contains(r.media_type)))
+      x.width == y.width && x.height == y.height && x.n_frames == y.n_frames &&
+        x.feature.toSeq == y.feature.toSeq })
+    assert(a.forall(r => r.feature.length == 8 && r.n_bytes > 0))
+    val images = a.filter(_.media_type == "image")
+    val audios = a.filter(_.media_type == "audio")
+    val videos = a.filter(_.media_type == "video")
+    assert(images.nonEmpty && audios.nonEmpty && videos.nonEmpty)
+    // image: real PNG decode — dims in the generator's range, luma in [0,1]
+    assert(images.forall(r => r.width >= 8 && r.width <= 24 && r.height >= 8 && r.height <= 20
+      && r.n_frames == 1 && r.feature.forall(f => f >= 0f && f <= 1f)))
+    // audio: real WAV container parse — 8kHz mono PCM-16, RMS in [0,1]
+    assert(audios.forall(r => r.width == 8000 && r.height == 1 && r.n_frames >= 64
+      && r.feature.forall(f => f >= 0f && f <= 1f)))
+    // video: frame container — 2..6 frames, frame dims like images
+    assert(videos.forall(r => r.n_frames >= 2 && r.n_frames <= 6 && r.width >= 8))
+  }
+
+  test("decoders round-trip known synthetic payloads exactly") {
+    // image: decode returns the exact dimensions the generator rendered
+    val png = Multimodal.synthPng(12345L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val dec = Multimodal.decodeImage(Multimodal.MediaRow(1L, "image", png))
+    assert(dec.width == img.getWidth && dec.height == img.getHeight)
+    // audio: sample count parsed from the data chunk matches the generator
+    val wav = Multimodal.synthWav(999L)
+    val decA = Multimodal.decodeWav(Multimodal.MediaRow(2L, "audio", wav))
+    assert(decA.n_frames == (wav.length - 44) / 2)
+    assert(decA.width == 8000 && decA.height == 1)
+    // video: frame count round-trips; corrupt magic is rejected loudly
+    val vid = Multimodal.synthGvid(777L)
+    val decV = Multimodal.decodeVideo(Multimodal.MediaRow(3L, "video", vid))
+    assert(decV.n_frames >= 2)
+    val corrupt = vid.clone(); corrupt(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo(Multimodal.MediaRow(4L, "video", corrupt))
+    }
   }
 }
