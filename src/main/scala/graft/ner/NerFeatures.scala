@@ -40,10 +40,33 @@ object NerFeatures {
   /** Features for all clique groups at `loc`. Returns one array of suffixed,
     * de-duplicated feature strings per group (length = WindowSize).
     */
+  // string-quality predicates (NERFeatureFactory.java:576-614)
+  @inline private[ner] def isNameCase(s: String): Boolean = {
+    if (s.length < 2) return false
+    if (!(Character.isUpperCase(s.charAt(0)) || Character.isTitleCase(s.charAt(0)))) return false
+    var i = 1
+    while (i < s.length) { if (Character.isUpperCase(s.charAt(i))) return false; i += 1 }
+    true
+  }
+  @inline private[ner] def noUpperCase(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    while (i < s.length) { if (Character.isUpperCase(s.charAt(i))) return false; i += 1 }
+    true
+  }
+  @inline private[ner] def hasLetter(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (Character.isLetter(s.charAt(i))) return true; i += 1 }
+    false
+  }
+
   def featuresAt(toks: IndexedSeq[Tok], loc: Int): Array[Array[String]] =
     featuresAt(toks, loc, Gazette.empty)
 
-  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette): Array[Array[String]] = {
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette): Array[Array[String]] =
+    featuresAt(toks, loc, gaz, occPatterns = false)
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -83,6 +106,30 @@ object NerFeatures {
       g0.add(p2.word + "..." + cShape + "-PPW_CTYPE|C")
     if (nWord.length <= 3)                                    // useNextRealWord (:1256)
       g0.add(n2.word + "..." + cShape + "-NNW_CTYPE|C")
+    // useOccurrencePatterns (:1953-2018): long-range repeated-capitalized-word
+    // features over the WHOLE document window (+-150 tokens, so `toks` must be
+    // the full document, not a sentence). Under a no-POS pipeline the
+    // NNP-gated variants (XY-*, X-*-YX/XY) can never fire — getString(Tag)
+    // returns "" which fails every .equals("NNP") — leaving exactly
+    // {NO-OCCURRENCE-PATTERN, X-NEXT-OCCURRENCE-X, X-PREV-OCCURRENCE-X};
+    // verified differentially against the reference trained with
+    // -conllNoTags -useOccurrencePatterns.
+    if (occPatterns) {
+      if (!(loc > 0 && isNameCase(cWord) && noUpperCase(nWord) && hasLetter(nWord) && hasLetter(pWord)))
+        g0.add("NO-OCCURRENCE-PATTERN|C")
+      else {
+        var jump = 3
+        var sawNext = false
+        val maxNext = math.min(149, toks.length - 1 - loc)
+        while (jump <= maxNext && !sawNext) { if (toks(loc + jump).word == cWord) sawNext = true; jump += 1 }
+        if (sawNext) g0.add("X-NEXT-OCCURRENCE-X|C")
+        jump = 3
+        var sawPrev = false
+        val maxPrev = math.min(149, loc)
+        while (jump <= maxPrev && !sawPrev) { if (toks(loc - jump).word == cWord) sawPrev = true; jump += 1 }
+        if (sawPrev) g0.add("X-PREV-OCCURRENCE-X|C")
+      }
+    }
     var d = 1                                                  // useDisjunctive w=4 (:1267)
     while (d <= 4) {
       g0.add(at(loc + d).word + "-DISJN|C")

@@ -86,11 +86,20 @@ object NerFeaturesFast {
     * dropped, matching CRFClassifier.java:200-207.
     * Returns per-group arrays sliced from scratch.
     */
+  // precomputed hashes for the occurrence-pattern constants
+  private val hNoOcc = fnv("NO-OCCURRENCE-PATTERN|C")
+  private val hNextOcc = fnv("X-NEXT-OCCURRENCE-X|C")
+  private val hPrevOcc = fnv("X-PREV-OCCURRENCE-X|C")
+
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch): Array[Array[Int]] =
-    idsAt(toks, loc, dict, scratch, Gazette.empty)
+    idsAt(toks, loc, dict, scratch, Gazette.empty, occPatterns = false)
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
-      gaz: Gazette): Array[Array[Int]] = {
+      gaz: Gazette): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, gaz, occPatterns = false)
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -148,6 +157,24 @@ object NerFeaturesFast {
       emit(h(h(h(h(h(FnvOffset, p2.word), "..."), cShapeGS), "-PPW_CTYPE"), suffixC))
     if (nWord.length <= 3)
       emit(h(h(h(h(h(FnvOffset, n2.word), "..."), cShapeGS), "-NNW_CTYPE"), suffixC))
+    // occurrence patterns: mirrors NerFeatures (same emission point)
+    if (occPatterns) {
+      if (!(loc > 0 && NerFeatures.isNameCase(cWord) && NerFeatures.noUpperCase(nWord) &&
+          NerFeatures.hasLetter(nWord) && NerFeatures.hasLetter(pWord)))
+        emit(hNoOcc)
+      else {
+        var jump = 3
+        var sawNext = false
+        val maxNext = math.min(149, toks.length - 1 - loc)
+        while (jump <= maxNext && !sawNext) { if (toks(loc + jump).word == cWord) sawNext = true; jump += 1 }
+        if (sawNext) emit(hNextOcc)
+        jump = 3
+        var sawPrev = false
+        val maxPrev = math.min(149, loc)
+        while (jump <= maxPrev && !sawPrev) { if (toks(loc - jump).word == cWord) sawPrev = true; jump += 1 }
+        if (sawPrev) emit(hPrevOcc)
+      }
+    }
     var d = 1
     while (d <= 4) {
       emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))

@@ -26,7 +26,11 @@ final class NerModel(
     // normalizeTerms (SeqClassifierFlags.java:99): preprocessing also
     // Americanizes each word (ObjectBankWrapper.fix, :117-128); shape stays
     // computed on the ORIGINAL word, like the timex fix
-    val normalizeTerms: Boolean = false
+    val normalizeTerms: Boolean = false,
+    // useOccurrencePatterns (NERFeatureFactory.java:1953-2018): long-range
+    // repeated-word features; the encode input must then be the WHOLE
+    // document (the +-150-token window spans it)
+    val useOccurrencePatterns: Boolean = false
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -89,7 +93,7 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette)
+      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns)
       pos += 1
     }
     out
@@ -110,7 +114,7 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      val byGroup = NerFeatures.featuresAt(toks, pos, gazette)
+      val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -225,6 +229,7 @@ object NerModel {
       m.knownLC.toSeq.sorted.foreach { s => w.write(s); w.write("\n") }
       // v3 trailers (all optional; absent = defaults — v2 files stay loadable)
       if (m.normalizeTerms) w.write("opt\tnormalizeTerms\ttrue\n")
+      if (m.useOccurrencePatterns) w.write("opt\tuseOccurrencePatterns\ttrue\n")
       if (!m.gazette.isEmpty) Gazette.writeTrailer(m.gazette, w)
     } finally w.close()
   }
@@ -266,16 +271,18 @@ object NerModel {
       val knownLC = (0 until nLC).map(_ => r.readLine()).toSet
       var gazette = Gazette.empty
       var normalizeTerms = false
+      var occPatterns = false
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
         else if (line == "opt\tnormalizeTerms\ttrue") normalizeTerms = true
+        else if (line == "opt\tuseOccurrencePatterns\ttrue") occPatterns = true
         else throw new IllegalArgumentException(s"unexpected model trailer: $line")
         line = r.readLine()
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms)
+        gazette, normalizeTerms, occPatterns)
     } finally r.close()
   }
 }

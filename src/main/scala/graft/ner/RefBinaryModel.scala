@@ -66,8 +66,9 @@ object RefBinaryModel {
       val knownLC = asSet(knownLCObj).map(_.asInstanceOf[String]).toSet
 
       val normalizeTerms = flags.fields.get("normalizeTerms").contains(true)
+      val occPatterns = flags.fields.get("useOccurrencePatterns").contains(true)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
-        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms)
+        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns)
     } finally in.close()
   }
 
@@ -104,11 +105,11 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    // useGazettes IS supported: the factory's serialized gazette maps are
-    // reconstructed into our Gazette (gazetteOf)
+    // useGazettes and useOccurrencePatterns ARE supported (gazette maps are
+    // reconstructed from the factory; occurrence patterns in their no-POS
+    // degeneration, which is total under conllNoTags)
     val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim",
-      "useOccurrencePatterns", "useParenMatching", "useABGENE", "useWEB", "useSymTags",
-      "useReverse")
+      "useParenMatching", "useABGENE", "useWEB", "useSymTags", "useReverse")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

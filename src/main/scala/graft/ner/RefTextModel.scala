@@ -87,7 +87,8 @@ private[ner] object RefModelAssembly {
       weights: Array[Array[Double]],
       knownLC: Set[String],
       gazette: Gazette = Gazette.empty,
-      normalizeTerms: Boolean = false): NerModel = {
+      normalizeTerms: Boolean = false,
+      useOccurrencePatterns: Boolean = false): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -124,6 +125,6 @@ private[ner] object RefModelAssembly {
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
-      gazette, normalizeTerms)
+      gazette, normalizeTerms, useOccurrencePatterns)
   }
 }

@@ -21,10 +21,17 @@ final case class LabeledDoc(words: Seq[String], labels: Seq[String])
   *
   * Scale notes (100 TB corpus): every per-iteration pass is a single map over
   * the cached encoded Dataset with a depth-2 tree reduction of the flat
-  * gradient; the feature dictionary is built with a distributed distinct and
-  * only the distinct feature strings are collected. At very large feature
-  * counts, swap the driver-side zipWithIndex for a sorted zipWithIndex job and
-  * a broadcast-hash dictionary join; the interfaces here don't change.
+  * gradient; the feature dictionary is built with a distributed
+  * distinct/count aggregation and only the distinct feature strings are
+  * collected. That collect is NOT the binding constraint at scale: the model
+  * itself (featureIndex + a dense weight row per feature) must fit in one JVM
+  * to be broadcast for inference, and the collected dictionary is strictly
+  * smaller than the model. The levers that actually bound feature count are
+  * removeBackgroundSingletonFeatures (hapax background features dominate
+  * web-corpus dictionaries) and the prune-retrain loop below; both are
+  * implemented. A fully-distributed dictionary (sorted zipWithIndex job +
+  * join-encoding) would only move the ceiling if inference also switched to
+  * a partitioned parameter server, which no CRF of this family needs.
   */
 object Trainer {
 
@@ -55,7 +62,10 @@ object Trainer {
       featureDiffThresh: Double = 0.0,
       // normalizeTerms: Americanize during the word fix (off in every
       // 3-class preset; ObjectBankWrapper.fix, :117-128)
-      normalizeTerms: Boolean = false)
+      normalizeTerms: Boolean = false,
+      // useOccurrencePatterns (goodCoNLL-only family): long-range repeated-
+      // word features over the whole document window
+      useOccurrencePatterns: Boolean = false)
 
   def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -67,6 +77,7 @@ object Trainer {
     // it sees TIMEX-FIXED words — "Monday" is collected as "monday" and the
     // later shape pass emits "WT-Xxk" for weekday tokens. Collect fixed words.
     val normTerms = cfg.normalizeTerms
+    val occPat = cfg.useOccurrencePatterns
     val knownLC: Set[String] = docs
       .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
         .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
@@ -91,7 +102,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -101,7 +112,7 @@ object Trainer {
           val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -186,7 +197,7 @@ object Trainer {
         .map { d =>
           val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
           val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value)
+          val enc = encodeWith(toks, dict, bcastGaz.value, occPat)
           (enc, d.labels.map(classOf).toArray)
         }
         .cache()
@@ -260,7 +271,7 @@ object Trainer {
     }
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
-      cfg.normalizeTerms)
+      cfg.normalizeTerms, cfg.useOccurrencePatterns)
   }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then
@@ -275,11 +286,11 @@ object Trainer {
     else WordShape.fixWord(w)
 
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
-      gaz: Gazette = Gazette.empty): Crf.EncodedDoc = {
+      gaz: Gazette = Gazette.empty, occPatterns: Boolean = false): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
-      out(pos) = NerFeatures.featuresAt(toks, pos, gaz).map { feats =>
+      out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

@@ -265,4 +265,78 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"normalizeTerms-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  test("OCCURRENCE-PATTERNS differential: reference trained with -useOccurrencePatterns matches our tags") {
+    // Corpus with capitalized words REPEATING at distance >= 3 inside a doc so
+    // the long-range family actually fires (X-NEXT/X-PREV-OCCURRENCE-X under
+    // the no-POS degeneration; the NNP-gated variants cannot fire without tags).
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = Paths.get("/tmp/refocc")
+    Files.createDirectories(dir)
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    def doc(i: Int): (Vector[String], Vector[String]) = {
+      val fn = firstNames(i % firstNames.size); val ln = lastNames(i % lastNames.size)
+      val loc = locations(i % locations.size); val org = orgBases(i % orgBases.size)
+      (i % 3) match {
+        case 0 => (Vector(fn, ln, "visited", loc, "before", ln, "returned", "to", loc, "."),
+          Vector("PERSON", "PERSON", "O", "LOCATION", "O", "PERSON", "O", "O", "LOCATION", "O"))
+        case 1 => (Vector(org, "hired", fn, ln, "although", org, "was", "hiring", "nobody", "."),
+          Vector("ORGANIZATION", "O", "PERSON", "PERSON", "O", "ORGANIZATION", "O", "O", "O", "O"))
+        case _ => (Vector(fn, ln, "stayed", "in", loc, "."),
+          Vector("PERSON", "PERSON", "O", "O", "LOCATION", "O"))
+      }
+    }
+    def render(path: java.nio.file.Path, range: Range, meta: Option[java.nio.file.Path]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (i <- range) {
+        val (ws, ls) = doc(i)
+        for (k <- ws.indices) sb.append(ws(k)).append('\t').append(ls(k)).append('\n')
+        sb.append('\n')
+        mb.append(i).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(path, sb.toString)
+      meta.foreach(Files.writeString(_, mb.toString))
+    }
+    render(dir.resolve("train.tsv"), 0 until 240, None)
+    render(dir.resolve("test.tsv"), 1000 until 1080, Some(dir.resolve("meta.tsv")))
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refocc.ser.gz",
+      "-conllNoTags", "true", "-useOccurrencePatterns", "true") == 0, "occ-patterns training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refocc.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-useOccurrencePatterns", "true")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(dir.resolve(f)).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refocc.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useOccurrencePatterns, "useOccurrencePatterns flag not carried out of the bundle")
+    assert(model.featureIndex.containsKey("X-NEXT-OCCURRENCE-X|C"), "family never fired in training?!")
+    assert(model.featureIndex.containsKey("X-PREV-OCCURRENCE-X|C"))
+    assert(model.featureIndex.containsKey("NO-OCCURRENCE-PATTERN|C"))
+
+    val refTags = RefCompare.parseRefOutput(dir.resolve("ref_out.tsv"))
+    val meta = Files.readAllLines(dir.resolve("meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toInt, p(1).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((i, n), theirs) =>
+      val (words, _) = doc(i)
+      val ours = model.tag(words)
+      for (k <- 0 until n) {
+        if (ours(k) == theirs(k)) agree += 1
+        else bad += s"doc $i tok $k '${words(k)}': ours=${ours(k)} ref=${theirs(k)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"occurrence-patterns-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }
