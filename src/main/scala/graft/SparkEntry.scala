@@ -177,6 +177,7 @@ object SparkEntry {
     // ===== similarity search =====
     "q22_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
     "q23_knn_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
+    "q26_knn_ivf" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), k = 5, queryMod = 50)),
     // blocked exact all-pairs (tile equi-join), NOT the broadcast cartesian:
     // same rows as the brute baseline, but distributed O(n^2/p) with no
     // driver-side materialization (round-1 review finding)

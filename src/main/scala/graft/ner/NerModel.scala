@@ -30,8 +30,18 @@ final class NerModel(
     // useOccurrencePatterns (NERFeatureFactory.java:1953-2018): long-range
     // repeated-word features; the encode input must then be the WHOLE
     // document (the +-150-token window spans it)
-    val useOccurrencePatterns: Boolean = false
+    val useOccurrencePatterns: Boolean = false,
+    // useReverse (the `macro` preset's distinguishing flag,
+    // SeqClassifierFlags.java:617): the reference physically reverses each
+    // document before feature extraction and inference and un-reverses the
+    // answers (CRFClassifier.makeAnswerArraysAndTagIndex / classify); we do
+    // the same at the tag() entry points. Occurrence patterns additionally
+    // flip their scan direction under reverse in the reference — that
+    // combination is rejected rather than silently mis-implemented.
+    val useReverse: Boolean = false
 ) extends Serializable {
+  require(!(useReverse && useOccurrencePatterns),
+    "useReverse + useOccurrencePatterns together are not implemented (direction-flipped scans)")
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
     * lowercasing always (normalizeTimex is on in every 3-class preset),
@@ -133,9 +143,11 @@ final class NerModel(
   /** Viterbi-tag one document of raw words; returns a label per token. */
   def tag(words: IndexedSeq[String]): Array[String] = {
     if (words.isEmpty) return Array.empty
-    val enc = encodeFast(words)
+    val in = if (useReverse) words.reverse else words
+    val enc = encodeFast(in)
     val pots = Crf.logPotentials(enc, params)
-    Crf.viterbi(pots, params).map(classIndex)
+    val out = Crf.viterbi(pots, params).map(classIndex)
+    if (useReverse) out.reverse else out
   }
 
   def numFeatures: Int = featureIndex.size
@@ -145,9 +157,11 @@ final class NerModel(
     * positions, condLogProbGivenPrevious/Next; CRFCliqueTree.java:185-448).
     * Label indices follow `classIndex`/`classOf`.
     */
-  def cliqueTree(words: IndexedSeq[String]): Crf.Marginals =
+  def cliqueTree(words: IndexedSeq[String]): Crf.Marginals = {
+    require(!useReverse, "cliqueTree positions are undefined under useReverse")
     new Crf.Marginals(
       Crf.forwardBackward(Crf.logPotentials(encodeFast(words), params), params), params)
+  }
 
   /** Beam-limited decode (BeamBestSequenceFinder surface; reference default
     * beamSize = 30, SeqClassifierFlags.java:141). Faster than exact Viterbi
@@ -155,15 +169,21 @@ final class NerModel(
     */
   def tagBeam(words: IndexedSeq[String], beamSize: Int = 30): Array[String] = {
     if (words.isEmpty) return Array.empty
-    val pots = Crf.logPotentials(encodeFast(words), params)
-    Crf.beamViterbi(pots, params, beamSize).map(classIndex)
+    val in = if (useReverse) words.reverse else words
+    val pots = Crf.logPotentials(encodeFast(in), params)
+    val out = Crf.beamViterbi(pots, params, beamSize).map(classIndex)
+    if (useReverse) out.reverse else out
   }
 
   /** K-best label sequences with joint scores (KBestSequenceFinder surface). */
   def tagKBest(words: IndexedSeq[String], k: Int): Seq[(Seq[String], Double)] = {
     if (words.isEmpty) return Seq((Seq.empty, 0.0))
-    val pots = Crf.logPotentials(encodeFast(words), params)
-    Crf.kBestViterbi(pots, params, k).map { case (ls, sc) => (ls.toSeq.map(classIndex), sc) }
+    val in = if (useReverse) words.reverse else words
+    val pots = Crf.logPotentials(encodeFast(in), params)
+    Crf.kBestViterbi(pots, params, k).map { case (ls, sc) =>
+      val seq = ls.toSeq.map(classIndex)
+      (if (useReverse) seq.reverse else seq, sc)
+    }
   }
 
   /** Viterbi label + posterior marginal P(y_i = label | x) per token
@@ -171,15 +191,16 @@ final class NerModel(
     * the printProbs debug surface). Marginal of a label = sum of calibrated
     * full-window posteriors whose newest slot is that label.
     */
-  def tagWithConfidence(words: IndexedSeq[String]): Array[(String, Double)] = {
-    if (words.isEmpty) return Array.empty
+  def tagWithConfidence(words0: IndexedSeq[String]): Array[(String, Double)] = {
+    if (words0.isEmpty) return Array.empty
+    val words = if (useReverse) words0.reverse else words0
     val enc = encodeFast(words)
     val p = params
     val pots = Crf.logPotentials(enc, p)
     val best = Crf.viterbi(pots, p)
     val cal = Crf.forwardBackward(pots, p)
     val C = p.numClasses
-    Array.tabulate(words.length) { pos =>
+    val out = Array.tabulate(words.length) { pos =>
       val lm = cal.logMarginals(pos)
       var prob = 0.0
       var e = best(pos) // windows with newest slot == best(pos): enc % C == label
@@ -190,6 +211,7 @@ final class NerModel(
       }
       (classIndex(best(pos)), prob)
     }
+    if (useReverse) out.reverse else out
   }
 }
 
@@ -230,6 +252,7 @@ object NerModel {
       // v3 trailers (all optional; absent = defaults — v2 files stay loadable)
       if (m.normalizeTerms) w.write("opt\tnormalizeTerms\ttrue\n")
       if (m.useOccurrencePatterns) w.write("opt\tuseOccurrencePatterns\ttrue\n")
+      if (m.useReverse) w.write("opt\tuseReverse\ttrue\n")
       if (!m.gazette.isEmpty) Gazette.writeTrailer(m.gazette, w)
     } finally w.close()
   }
@@ -272,17 +295,19 @@ object NerModel {
       var gazette = Gazette.empty
       var normalizeTerms = false
       var occPatterns = false
+      var reverse = false
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
         else if (line == "opt\tnormalizeTerms\ttrue") normalizeTerms = true
         else if (line == "opt\tuseOccurrencePatterns\ttrue") occPatterns = true
+        else if (line == "opt\tuseReverse\ttrue") reverse = true
         else throw new IllegalArgumentException(s"unexpected model trailer: $line")
         line = r.readLine()
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns)
+        gazette, normalizeTerms, occPatterns, reverse)
     } finally r.close()
   }
 }

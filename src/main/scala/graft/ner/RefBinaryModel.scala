@@ -67,8 +67,9 @@ object RefBinaryModel {
 
       val normalizeTerms = flags.fields.get("normalizeTerms").contains(true)
       val occPatterns = flags.fields.get("useOccurrencePatterns").contains(true)
+      val reverse = flags.fields.get("useReverse").contains(true)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
-        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns)
+        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns, reverse)
     } finally in.close()
   }
 
@@ -105,11 +106,11 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    // useGazettes and useOccurrencePatterns ARE supported (gazette maps are
-    // reconstructed from the factory; occurrence patterns in their no-POS
-    // degeneration, which is total under conllNoTags)
+    // useGazettes, useOccurrencePatterns and useReverse ARE supported
+    // (gazette maps reconstructed from the factory; occurrence patterns in
+    // their no-POS degeneration; reverse at the tag entry points)
     val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim",
-      "useParenMatching", "useABGENE", "useWEB", "useSymTags", "useReverse")
+      "useParenMatching", "useABGENE", "useWEB", "useSymTags")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -88,7 +88,8 @@ private[ner] object RefModelAssembly {
       knownLC: Set[String],
       gazette: Gazette = Gazette.empty,
       normalizeTerms: Boolean = false,
-      useOccurrencePatterns: Boolean = false): NerModel = {
+      useOccurrencePatterns: Boolean = false,
+      useReverse: Boolean = false): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -125,6 +126,6 @@ private[ner] object RefModelAssembly {
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
-      gazette, normalizeTerms, useOccurrencePatterns)
+      gazette, normalizeTerms, useOccurrencePatterns, useReverse)
   }
 }

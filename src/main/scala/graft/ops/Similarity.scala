@@ -97,6 +97,83 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions the
+    * corpus into posting lists; each query probes its `nProbe` nearest
+    * centroids and exact-reranks only those lists — the classic
+    * Jegou/Douze/Schmid IVF-Flat scheme, fully deterministic here (seeded
+    * pseudo-random init, fixed Lloyd iteration count).
+    *
+    * Scale shape: training touches the corpus `kmeansIters` times with a
+    * map + tiny groupBy (centroids collect to the driver: nCentroids x dim
+    * doubles); the search is ONE equi-join on cluster id (candidates =
+    * corpus/nCentroids x nProbe per query on balanced clusters) with the
+    * query side broadcast. Unlike RHP-LSH, recall does not depend on random
+    * hyperplane luck for clustered data — near-duplicates land in the same
+    * cell. Output schema matches bruteForceTopK for recall measurement.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].cache()
+
+    def dist2(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(a: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) { val d = dist2(a, cs(ci)); if (d < bd) { bd = d; best = ci }; ci += 1 }
+      best
+    }
+
+    // deterministic init: the nCentroids vectors with the smallest splitmix64(vec_id)
+    var centroids: Array[Array[Double]] = vecs
+      .map { case (id, e) => (Hashing.splitmix64(id), e) }
+      .orderBy(col("_1")).limit(nCentroids)
+      .collect().map(_._2.map(_.toDouble))
+    // Lloyd iterations: distributed assign, driver-side tiny centroid update
+    for (_ <- 1 to kmeansIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs.map { case (_, e) => (nearest(e, bc.value), (e.map(_.toDouble), 1L)) }
+        .rdd.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }.collect().toMap
+      centroids = centroids.indices.map { ci =>
+        sums.get(ci) match {
+          case Some((s, n)) => s.map(_ / n)
+          case None => centroids(ci) // empty cell keeps its centroid
+        }
+      }.toArray
+      bc.destroy()
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, e) => (id, e, nearest(e, bc.value)) }
+      .toDF("vec_id", "embedding", "cluster")
+    // queries probe their nProbe nearest cells
+    val probes = vecs.filter(_._1 % queryMod == 0)
+      .flatMap { case (id, e) =>
+        val cs = bc.value
+        cs.indices.sortBy(ci => dist2(e, cs(ci))).take(nProbe).map(ci => (id, e, ci))
+      }.toDF("query_id", "q_emb", "cluster")
+    val cand = assigned.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val out = cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+      .localCheckpoint() // materialize before dropping the corpus cache
+    vecs.unpersist(blocking = false)
+    out
+  }
+
   /** All pairs with cosine >= tau — broadcast-nested-loop formulation. Kept
     * ONLY as the small-sf correctness baseline for cosinePairsBlocked (it puts
     * one whole side in driver+executor memory: a scale-killer — round-1 review

@@ -65,11 +65,17 @@ object Trainer {
       normalizeTerms: Boolean = false,
       // useOccurrencePatterns (goodCoNLL-only family): long-range repeated-
       // word features over the whole document window
-      useOccurrencePatterns: Boolean = false)
+      useOccurrencePatterns: Boolean = false,
+      // useReverse (macro preset): documents train and decode reversed
+      useReverse: Boolean = false)
 
-  def train(spark: SparkSession, docs: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
+  def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
     val sc = spark.sparkContext
+    // useReverse: physically reverse every doc before anything else, like the
+    // reference's Collections.reverse(doc) at read time
+    val docs = if (!cfg.useReverse) docs0
+      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse))
     docs.cache()
 
     // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68).
@@ -271,7 +277,7 @@ object Trainer {
     }
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
-      cfg.normalizeTerms, cfg.useOccurrencePatterns)
+      cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse)
   }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then

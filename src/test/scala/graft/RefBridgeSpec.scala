@@ -339,4 +339,65 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"occurrence-patterns-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  test("USE-REVERSE differential: reference trained with -useReverse matches our tags") {
+    // the macro preset's distinguishing flag: documents train and decode
+    // physically reversed, answers un-reversed on output
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refrev"
+    RefFixtures.main(Array(dir))
+    // the conllNoTags PRESET explicitly sets useReverse=false and Properties
+    // iteration order is a hashtable's, so "-conllNoTags true -useReverse
+    // true" silently loses the reverse flag — spell the preset out key by key
+    // instead (no key collides, so order cannot matter)
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,answer=1",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      "-sigma", "20.0", "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
+      "-useReverse", "true")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refrev.ser.gz") == 0,
+      "useReverse training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refrev.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refrev.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useReverse, "useReverse flag not carried out of the bundle")
+
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"useReverse-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }

@@ -167,6 +167,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("IVF finds planted near-duplicates; deterministic across runs") {
+    import spark.implicits._
+    val rows = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val rng = new scala.util.Random(17)
+    val planted = rows.filter(_._1 % 50 == 0).map { case (id, e) =>
+      (id + 100000L, e.map(v => v + (rng.nextGaussian() * 0.05).toFloat))
+    }
+    val all = (rows ++ planted).toSeq.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(all, k = 1, queryMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = planted.count { case (pid, _) => ivf.get(pid - 100000L).contains(pid) }
+    val recall = hits.toDouble / planted.length
+    info(s"IVF planted-neighbor recall@1 = $recall over ${planted.length} queries")
+    assert(recall >= 0.9, s"recall $recall")
+    // determinism: seeded init + fixed Lloyd rounds -> identical output
+    val a = Similarity.ivfTopK(emb, k = 5, queryMod = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.ivfTopK(emb, k = 5, queryMod = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+    // k rows per query
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("LSH recall vs brute force on near-random data (report-only bar)") {
     val brute = Similarity.bruteForceTopK(emb, k = 5, queryMod = 50)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
