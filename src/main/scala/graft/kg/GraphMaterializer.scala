@@ -6,32 +6,56 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Materializes the knowledge graph as partitioned node/edge tables with
-  * per-stage lineage for exact resume (north rule). In production the sinks
-  * are Iceberg tables (`partitionedBy(etype, bucket(n, entity_id))`); the
-  * sandbox writes the same layout as parquet with an explicit bucket column
-  * (no Iceberg runtime jar ships in this image).
+  * PER-PARTITION lineage + counters for exact resume (north rule). In
+  * production the sinks are Iceberg tables (`partitionedBy(etype,
+  * bucket(n, entity_id))`); the sandbox writes the same layout as parquet
+  * with an explicit bucket column (no Iceberg runtime jar ships here).
   *
   * Resume contract: each stage writes `_lineage/<stage>.json` containing the
-  * input fingerprint and row count AFTER its table write succeeds; re-running
-  * with the same fingerprint skips the stage (checked by `Lineage.shouldRun`),
-  * so a killed job redoes only unfinished stages and the output is identical.
+  * input fingerprint and the ROW COUNT OF EVERY PARTITION after its table
+  * write succeeds. Re-running with the same fingerprint:
+  *   - all recorded partitions present on disk -> stage skipped entirely;
+  *   - some partitions missing/damaged (killed mid-write, manual deletion)
+  *     -> ONLY those partitions are recomputed and rewritten (dynamic
+  *     partition overwrite), untouched partitions keep their files byte for
+  *     byte. A different fingerprint always rewrites the whole stage.
+  * The recorded counts double as the per-partition counters the lineage
+  * table exposes for monitoring.
   */
 object GraphMaterializer {
 
   object Lineage {
     def path(outDir: String, stage: String) = Paths.get(outDir, "_lineage", s"$stage.json")
 
-    def record(outDir: String, stage: String, fingerprint: String, rows: Long): Unit = {
+    def record(outDir: String, stage: String, fingerprint: String,
+        partCounts: Map[String, Long]): Unit = {
       val p = path(outDir, stage)
       Files.createDirectories(p.getParent)
+      val parts = partCounts.toSeq.sorted
+        .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
       Files.writeString(p,
-        s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows,"ts":${System.currentTimeMillis()}}""")
+        s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":${partCounts.values.sum},"partitions":$parts,"ts":${System.currentTimeMillis()}}""")
     }
 
-    def shouldRun(outDir: String, stage: String, fingerprint: String): Boolean = {
+    /** (fingerprint, partition dir -> row count), if a record exists. */
+    def read(outDir: String, stage: String): Option[(String, Map[String, Long])] = {
       val p = path(outDir, stage)
-      !(Files.exists(p) && Files.readString(p).contains(s""""fingerprint":"$fingerprint""""))
+      if (!Files.exists(p)) return None
+      val s = Files.readString(p)
+      val fp = "\"fingerprint\":\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+      val parts = "\"partitions\":\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)) match {
+        case Some(body) if body.nonEmpty =>
+          body.split(",").map { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+          }.toMap
+        case _ => Map.empty[String, Long]
+      }
+      fp.map(f => (f, parts))
     }
+
+    def shouldRun(outDir: String, stage: String, fingerprint: String): Boolean =
+      !read(outDir, stage).exists(_._1 == fingerprint)
   }
 
   final case class Config(
@@ -49,6 +73,45 @@ object GraphMaterializer {
     import linked.sparkSession.implicits._
     val sel = linked.select($"etype", $"surface", $"entity_id", $"canonical_surface")
     if (linked.count() <= maxBroadcastSurfaces) broadcast(sel) else sel
+  }
+
+  /** A partition is complete when its directory holds at least one parquet
+    * part file (a killed executor leaves the dir absent or empty).
+    */
+  private def partitionComplete(tableDir: String, partPath: String): Boolean = {
+    val d = new java.io.File(s"$tableDir/$partPath")
+    d.isDirectory && d.listFiles() != null &&
+      d.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+  }
+
+  /** Write `df` partitioned by `partCols` with per-partition lineage.
+    * Returns the per-partition counts written (or previously recorded).
+    */
+  private def writeWithLineage(df: DataFrame, tableDir: String, partCols: Seq[String],
+      outDir: String, stage: String, fingerprint: String): Map[String, Long] = {
+    val partPath = concat_ws("/",
+      partCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
+    Lineage.read(outDir, stage) match {
+      case Some((fp, recorded)) if fp == fingerprint && recorded.nonEmpty =>
+        val missing = recorded.keySet.filterNot(partitionComplete(tableDir, _))
+        if (missing.isEmpty) return recorded // exact resume: nothing to do
+        // selective repair: recompute ONLY the damaged partitions; dynamic
+        // overwrite replaces just the partitions present in the written data
+        df.where(partPath.isin(missing.toSeq: _*))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(tableDir)
+        recorded
+      case _ =>
+        df.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*)
+          .parquet(tableDir)
+        val counts = df.groupBy(partPath.as("p")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Lineage.record(outDir, stage, fingerprint, counts)
+        counts
+    }
   }
 
   /** Write nodes + edges; returns (nodes, edges) DataFrames (also persisted).
@@ -77,12 +140,7 @@ object GraphMaterializer {
         count(lit(1)).as("n_surfaces"))
       .withColumn("bucket", pmod(hash($"entity_id"), lit(cfg.nodeBuckets)))
 
-    if (Lineage.shouldRun(outDir, "nodes", fingerprint)) {
-      nodes.write.mode(SaveMode.Overwrite)
-        .partitionBy("etype", "bucket")
-        .parquet(s"$outDir/nodes")
-      Lineage.record(outDir, "nodes", fingerprint, nodes.count())
-    }
+    writeWithLineage(nodes, s"$outDir/nodes", Seq("etype", "bucket"), outDir, "nodes", fingerprint)
 
     // surface -> entity map is vocabulary-sized: broadcast it into both joins
     // (size-guarded) so the triple stream itself is never shuffled.
@@ -105,12 +163,7 @@ object GraphMaterializer {
         min($"conv_id").as("sample_conv_id"))
       .withColumn("bucket", pmod(hash($"subj_id"), lit(cfg.edgeBuckets)))
 
-    if (Lineage.shouldRun(outDir, "edges", fingerprint)) {
-      edges.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$outDir/edges")
-      Lineage.record(outDir, "edges", fingerprint, edges.count())
-    }
+    writeWithLineage(edges, s"$outDir/edges", Seq("bucket"), outDir, "edges", fingerprint)
     (nodes, edges)
   }
 }

@@ -37,6 +37,36 @@ object StreamingIngest {
   def streamingMentions(turns: Dataset[Turn], model: Broadcast[NerModel]): Dataset[Mention] =
     graft.ner.Tagger.mentions(turns, model)
 
+  final case class DedupState(seen: Set[Long])
+  final case class DedupedDoc(doc_id: Long, dup_key: Long, text: String)
+
+  /** Streaming EXACT dedup: the batch dedup semantic (keep the first document
+    * per content key) as a stateful stream filter — the shape a continuous
+    * training-data ingest needs. Keys are 64-bit FNV of the lowercased text,
+    * sharded by key prefix so per-group state stays bounded; state is the set
+    * of seen keys per shard (at production scale: state-store backed, with a
+    * TTL watermark if the dedup horizon is finite).
+    */
+  def streamingDedup(docs: Dataset[(Long, String)], shards: Int = 64): Dataset[DedupedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .map { case (id, text) => (id, graft.ops.Hashing.fnv1a64(text.toLowerCase), text) }
+      .groupByKey { case (_, key, _) => math.floorMod(key, shards).toInt }
+      .flatMapGroupsWithState[DedupState, DedupedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[DedupState]) =>
+          var seen = state.getOption.getOrElse(DedupState(Set.empty)).seen
+          val out = Vector.newBuilder[DedupedDoc]
+          // within a batch, first occurrence by doc_id order for determinism
+          rows.toSeq.sortBy(_._1).foreach { case (id, key, text) =>
+            if (!seen.contains(key)) { seen += key; out += DedupedDoc(id, key, text) }
+          }
+          state.update(DedupState(seen))
+          out.result().iterator
+      }
+  }
+
   final case class ConvState(turns: Seq[(Int, String)])
   final case class AssembledConv(conv_id: String, n_turns: Int, text: String)
 

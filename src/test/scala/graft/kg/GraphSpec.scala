@@ -32,4 +32,44 @@ class GraphSpec extends AnyFunSuite {
     GraphMaterializer.materialize(triples, linked, out, fingerprint = "seed42-n60-v2")
     assert(mtimes(s"$out/nodes") != before, "new fingerprint must rewrite")
   }
+
+  test("PER-PARTITION resume: a damaged bucket is repaired alone, others untouched byte-for-byte") {
+    val model = NerModels.default(spark)
+    val turns = Transcripts.synth(spark, 60L)
+    val triples = KgPipeline.triples(turns, model)
+    val linked = EntityLink.link(Tagger.mentions(turns, model))
+    val out = Files.createTempDirectory("kgout2").toString
+    GraphMaterializer.materialize(triples, linked, out, fingerprint = "pp-1")
+
+    // lineage carries per-partition counters
+    val lineage = GraphMaterializer.Lineage.read(out, "nodes")
+    assert(lineage.isDefined && lineage.get._2.nonEmpty, "per-partition counts missing")
+    val (_, counts) = lineage.get
+    assert(counts.keys.forall(k => k.startsWith("etype=") && k.contains("/bucket=")), counts.keys.take(3).mkString(","))
+
+    // simulate a killed write: delete ONE partition directory
+    val victim = counts.keys.head
+    val victimDir = new java.io.File(s"$out/nodes/$victim")
+    assert(victimDir.isDirectory)
+    victimDir.listFiles().foreach(_.delete()); victimDir.delete()
+    assert(!victimDir.exists())
+
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val survivorsBefore = (counts.keySet - victim).flatMap(p => partFiles(s"$out/nodes/$p")).toMap
+    Thread.sleep(20)
+
+    // same fingerprint -> only the victim partition is rewritten
+    GraphMaterializer.materialize(triples, linked, out, fingerprint = "pp-1")
+    assert(victimDir.exists() && partFiles(victimDir.getPath).nonEmpty, "victim bucket not repaired")
+    val survivorsAfter = (counts.keySet - victim).flatMap(p => partFiles(s"$out/nodes/$p")).toMap
+    assert(survivorsAfter == survivorsBefore, "untouched buckets must keep their files byte-for-byte")
+
+    // repaired table has the full recorded row count
+    val total = spark.read.parquet(s"$out/nodes").count()
+    assert(total == counts.values.sum, s"rows $total != recorded ${counts.values.sum}")
+  }
 }

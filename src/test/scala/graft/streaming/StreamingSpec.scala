@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "expected at least one mention from streamed turns")
   }
 
+  test("streaming exact dedup: cross-batch state drops repeats, first-wins within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: duplicate inside the batch (first doc_id wins)
+      input.addData((2L, "same text"), (1L, "same text"), (3L, "other text"))
+      q.processAllAvailable()
+      // batch 2: duplicate of an EARLIER batch (state carries across batches)
+      input.addData((4L, "same text"), (5L, "fresh text"), (6L, "OTHER TEXT")) // case-insensitive key
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+  }
+
   test("stateful conversation assembly emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
