@@ -325,6 +325,18 @@ object SparkEntry {
     s"hashers(i, a, b) AS (VALUES ${rows.mkString(",")})"
   }
 
+  /** RHP hyperplane constants for the q23 oracle, derived by the SAME
+    * function the operator uses (Similarity.rhpWeight; Java Double.toString
+    * round-trips exactly through DuckDB's parser).
+    */
+  private val rhpHyperCte: String = {
+    val rows = for (t <- 0 until 16; b <- 0 until 6) yield {
+      val w = (0 until 64).map(i => Similarity.rhpWeight(0xb175L + 7919L * t, b, i).toString)
+      s"($t,$b,[${w.mkString(",")}]::DOUBLE[])"
+    }
+    s"hyper(t, b, w) AS (VALUES ${rows.mkString(",")})"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -505,6 +517,24 @@ object SparkEntry {
         | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings WHERE vec_id % 50 = 0) q
         | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings) e ON e.vec_id != q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    // Full multi-table RHP-LSH ANN reproduced in SQL: embedded hyperplane
+    // constants -> sign-bit signatures -> per-table bucket join -> exact
+    // cosine rerank. Hash-green here certifies signatures, bucketing AND the
+    // rerank, not just row counts.
+    "q23_knn_lsh" ->
+      s"""WITH $rhpHyperCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) de FROM embeddings),
+         |sigs AS (SELECT vec_id, t, sum(CASE WHEN list_dot_product(de, w) > 0 THEN (1 << b) ELSE 0 END) sig
+         |  FROM e CROSS JOIN hyper GROUP BY vec_id, t),
+         |q AS (SELECT vec_id qid, t, sig FROM sigs WHERE vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT s.vec_id vid, q.qid FROM sigs s
+         |  JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id != q.qid),
+         |scored AS (SELECT qid query_id, vid neighbor_id,
+         |    round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 6) sim
+         |  FROM cand JOIN e a ON qid = a.vec_id JOIN e b ON vid = b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM ranked WHERE rank <= 5""".stripMargin,
     "q24_embed_pairs" ->
       """SELECT vec_id_1, vec_id_2, sim FROM (
         | SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,

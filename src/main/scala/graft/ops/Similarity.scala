@@ -45,6 +45,14 @@ object Similarity {
   /** Random-hyperplane LSH signature (sign bits of dot products with
     * `nBits` deterministic pseudo-random hyperplanes).
     */
+  /** Deterministic pseudo-random hyperplane weight for (seed, bit, dim),
+    * in (-1, 1). Public so the DuckDB oracle embeds the IDENTICAL constants.
+    */
+  def rhpWeight(seed: Long, b: Int, i: Int): Double = {
+    val h = Hashing.splitmix64(seed ^ (b.toLong << 32) ^ i.toLong)
+    (h >> 11).toDouble / (1L << 52).toDouble
+  }
+
   def rhpSignature(emb: Array[Float], nBits: Int, seed: Long = 0xb175L): Long = {
     var sig = 0L
     var b = 0
@@ -52,9 +60,7 @@ object Similarity {
       var dot = 0.0
       var i = 0
       while (i < emb.length) {
-        // deterministic pseudo-gaussian weight for (bit, dim)
-        val h = Hashing.splitmix64(seed ^ (b.toLong << 32) ^ i.toLong)
-        dot += emb(i) * ((h >> 11).toDouble / (1L << 52).toDouble) // in (-1, 1)
+        dot += emb(i) * rhpWeight(seed, b, i)
         i += 1
       }
       if (dot > 0) sig |= (1L << b)
