@@ -175,6 +175,30 @@ final class NerModel(
     if (useReverse) out.reverse else out
   }
 
+  /** Annealed-Gibbs decode with an optional document-consistency prior (the
+    * doGibbs path: Viterbi init, linear cooling from T=1.0 —
+    * CRFClassifier.java:720-794; prior = Gibbs.ConsistencyPrior, our analogue
+    * of the reference's entity priors). With penalty 0 this anneals the plain
+    * CRF and converges to the Viterbi answer; a positive penalty trades
+    * per-position likelihood for same-word label consistency across the doc.
+    */
+  def tagGibbs(words: IndexedSeq[String], consistencyPenalty: Double = 0.0,
+      sweeps: Int = 100, seed: Long = 0x91bb5L): Array[String] = {
+    if (words.isEmpty) return Array.empty
+    val in = if (useReverse) words.reverse else words
+    val pots = Crf.logPotentials(encodeFast(in), params)
+    val crf = new graft.core.Gibbs.CrfScorer(pots, params)
+    val scorer: graft.core.Gibbs.SequenceScorer =
+      if (consistencyPenalty <= 0) crf
+      else new graft.core.Gibbs.FactoredScorer(Seq(crf,
+        new graft.core.Gibbs.ConsistencyPrior(
+          in.map(WordShape.fixWord), classIndex.length, consistencyPenalty)))
+    val init = Crf.viterbi(pots, params)
+    val out = graft.core.Gibbs.findBestUsingAnnealing(
+      scorer, graft.core.Gibbs.linearCooling(1.0, sweeps), init, seed).map(classIndex)
+    if (useReverse) out.reverse else out
+  }
+
   /** K-best label sequences with joint scores (KBestSequenceFinder surface). */
   def tagKBest(words: IndexedSeq[String], k: Int): Seq[(Seq[String], Double)] = {
     if (words.isEmpty) return Seq((Seq.empty, 0.0))
