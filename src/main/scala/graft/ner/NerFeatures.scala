@@ -27,9 +27,15 @@ object NerFeatures {
 
   /** Preprocessed token view: `word` is the timex-fixed word, `shape` its
     * dan2UseLC shape computed on the original word; null shape = pad token.
+    * `ds` is the distsim cluster ("null" when the word is not in the lexicon,
+    * per distSimAnnotate) or null when distsim is off / the token is a pad.
     */
-  final case class Tok(word: String, shape: String)
+  final case class Tok(word: String, shape: String, ds: String = null)
   val Pad: Tok = Tok("", null)
+
+  // distsim accessors mirroring the reference's get vs getString semantics
+  @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
+  @inline private[ner] def dsGetString(t: Tok): String = if (t.ds == null) "" else t.ds
 
   val WindowSize = 3
   val Boundary = "*BOUNDARY*"
@@ -66,7 +72,11 @@ object NerFeatures {
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette): Array[Array[String]] =
     featuresAt(toks, loc, gaz, occPatterns = false)
 
-  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean): Array[Array[String]] = {
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean): Array[Array[String]] =
+    featuresAt(toks, loc, gaz, occPatterns, useDistSim = false)
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
+      useDistSim: Boolean): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -88,8 +98,15 @@ object NerFeatures {
       }
       i += 1
     }
+    if (useDistSim)                                            // useDistSim (:771)
+      g0.add(dsGet(c) + "-DISTSIM|C")
     g0.add(pWord + "-PW|C")                                   // usePrev (:963)
+    if (useDistSim)                                            // usePrev+useDistSim (:966)
+      g0.add(dsGet(p) + "-PDISTSIM|C")
     g0.add(nWord + "-NW|C")                                   // useNext (:980)
+    if (useDistSim)                                            // useNext+useDistSim (:982)
+      // the reference reads the PREVIOUS token's cluster here — mirrored
+      g0.add(dsGet(p) + "-NDISTSIM|C")
     g0.add(cWord + "-" + pWord + "-W-PW|C")                   // useWordPairs (:1002)
     g0.add(cWord + "-" + nWord + "-W-NW|C")
     // wordShape + useTypeSeqs (:1234-1247); pShape/nShape via get -> "null" pads
@@ -160,9 +177,13 @@ object NerFeatures {
     g1.add(cWord + "-PSEQW|CpC")
     g1.add(pWord + "-" + cWord + "-PSEQW2|CpC")
     g1.add(pWord + "-PSEQpW|CpC")
-    g1.add("-PSEQpDS|CpC")
-    g1.add("-PSEQcDS|CpC")
-    g1.add("--PSEQpcDS|CpC")
+    // distsim-valued sequence templates (:1553-1555, getString semantics:
+    // pad -> "", unknown word -> "null"); with distsim off they degenerate to
+    // the constant empty-prefix strings, byte-identical to before
+    val pDSs = dsGetString(p); val cDSs = dsGetString(c)
+    g1.add(pDSs + "-PSEQpDS|CpC")
+    g1.add(cDSs + "-PSEQcDS|CpC")
+    g1.add(pDSs + "-" + cDSs + "-PSEQpcDS|CpC")
     g1.add(pShapeS + "-PSEQpS|CpC")
     g1.add(cShape + "-PSEQcS|CpC")
     g1.add(pShapeS + "-" + cShape + "-PSEQpcS|CpC")

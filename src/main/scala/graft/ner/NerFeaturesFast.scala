@@ -31,6 +31,12 @@ object NerFeaturesFast {
   // shape via `getString` semantics: null -> ""
   @inline private def hShapeGS(acc: Long, t: Tok): Long =
     if (t.shape == null) acc else h(acc, t.shape)
+  // distsim via `get` semantics: absent -> the literal "null"
+  @inline private def hDsGet(acc: Long, t: Tok): Long =
+    if (t.ds == null) h(acc, "null") else h(acc, t.ds)
+  // distsim via `getString` semantics: absent -> ""
+  @inline private def hDsGS(acc: Long, t: Tok): Long =
+    if (t.ds == null) acc else h(acc, t.ds)
 
   /** Open-address long->int map (power-of-two capacity, linear probing).
     * Empty slots marked by value == -1; key 0 is permitted.
@@ -99,7 +105,11 @@ object NerFeaturesFast {
     idsAt(toks, loc, dict, scratch, gaz, occPatterns = false)
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
-      gaz: Gazette, occPatterns: Boolean): Array[Array[Int]] = {
+      gaz: Gazette, occPatterns: Boolean): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, gaz, occPatterns, useDistSim = false)
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -140,8 +150,12 @@ object NerFeaturesFast {
       }
       i0 += 1
     }
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-PDISTSIM"), suffixC))
     emit(h(h(h(FnvOffset, nWord), "-NW"), suffixC))
+    // reference bug mirrored: NDISTSIM reads the PREVIOUS token's cluster
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-NDISTSIM"), suffixC))
     emit(h(h(h(hc(h(FnvOffset, cWord), '-'), pWord), "-W-PW"), suffixC))
     emit(h(h(h(hc(h(FnvOffset, cWord), '-'), nWord), "-W-NW"), suffixC))
     val cShapeGS = if (c.shape == null) "" else c.shape
@@ -212,9 +226,9 @@ object NerFeaturesFast {
     emit(h(h(h(FnvOffset, cWord), "-PSEQW"), suffixCpC))
     emit(h(h(h(hc(h(FnvOffset, pWord), '-'), cWord), "-PSEQW2"), suffixCpC))
     emit(h(h(h(FnvOffset, pWord), "-PSEQpW"), suffixCpC))
-    emit(h(h(FnvOffset, "-PSEQpDS"), suffixCpC))
-    emit(h(h(FnvOffset, "-PSEQcDS"), suffixCpC))
-    emit(h(h(FnvOffset, "--PSEQpcDS"), suffixCpC))
+    emit(h(h(hDsGS(FnvOffset, p), "-PSEQpDS"), suffixCpC))
+    emit(h(h(hDsGS(FnvOffset, c), "-PSEQcDS"), suffixCpC))
+    emit(h(h(hDsGS(hc(hDsGS(FnvOffset, p), '-'), c), "-PSEQpcDS"), suffixCpC))
     emit(h(h(h(FnvOffset, pShapeGS), "-PSEQpS"), suffixCpC))
     emit(h(h(h(FnvOffset, cShapeGS), "-PSEQcS"), suffixCpC))
     emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-PSEQpcS"), suffixCpC))

@@ -38,7 +38,11 @@ final class NerModel(
     // the same at the tag() entry points. Occurrence patterns additionally
     // flip their scan direction under reverse in the reference — that
     // combination is rejected rather than silently mis-implemented.
-    val useReverse: Boolean = false
+    val useReverse: Boolean = false,
+    // useDistSim (NERFeatureFactory.java:497-530,763-772,966,982,1553-1555):
+    // distributional-similarity cluster features from a lexicon that is part
+    // of the model state (the reference serializes it inside the factory)
+    val distSim: Option[DistSim] = None
 ) extends Serializable {
   require(!(useReverse && useOccurrencePatterns),
     "useReverse + useOccurrencePatterns together are not implemented (direction-flipped scans)")
@@ -87,7 +91,9 @@ final class NerModel(
   private def tok(w: String): NerFeatures.Tok = {
     var t = tokCache.get(w)
     if (t == null) {
-      t = NerFeatures.Tok(fix(w), WordShape.dan2(w, knownLC.contains))
+      val fixed = fix(w)
+      t = NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
+        distSim.map(_.clusterOf(fixed)).orNull)
       if (tokCache.size < 2000000) tokCache.put(w, t) // bound executor memory
     }
     t
@@ -103,7 +109,8 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns)
+      out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
+        distSim.isDefined)
       pos += 1
     }
     out
@@ -114,7 +121,11 @@ final class NerModel(
     * ordering (ObjectBankWrapper.java:131-155).
     */
   def preprocess(words: IndexedSeq[String]): IndexedSeq[NerFeatures.Tok] =
-    words.map(w => NerFeatures.Tok(fix(w), WordShape.dan2(w, knownLC.contains)))
+    words.map { w =>
+      val fixed = fix(w)
+      NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
+        distSim.map(_.clusterOf(fixed)).orNull)
+    }
 
   /** Encode a preprocessed document; features unseen at train time are dropped
     * (reference semantic: CRFClassifier.java:200-207).
@@ -124,7 +135,8 @@ final class NerModel(
     val out = new Array[Array[Array[Int]]](n)
     var pos = 0
     while (pos < n) {
-      val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns)
+      val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
+        distSim.isDefined)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -277,6 +289,10 @@ object NerModel {
       if (m.normalizeTerms) w.write("opt\tnormalizeTerms\ttrue\n")
       if (m.useOccurrencePatterns) w.write("opt\tuseOccurrencePatterns\ttrue\n")
       if (m.useReverse) w.write("opt\tuseReverse\ttrue\n")
+      m.distSim.foreach { ds =>
+        w.write(s"distsim\t${ds.lexicon.size}\n")
+        ds.lexicon.toSeq.sorted.foreach { case (k, v) => w.write(s"$k\t$v\n") }
+      }
       if (!m.gazette.isEmpty) Gazette.writeTrailer(m.gazette, w)
     } finally w.close()
   }
@@ -320,18 +336,26 @@ object NerModel {
       var normalizeTerms = false
       var occPatterns = false
       var reverse = false
+      var distSim: Option[DistSim] = None
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
         else if (line == "opt\tnormalizeTerms\ttrue") normalizeTerms = true
         else if (line == "opt\tuseOccurrencePatterns\ttrue") occPatterns = true
         else if (line == "opt\tuseReverse\ttrue") reverse = true
+        else if (line.startsWith("distsim\t")) {
+          val n = line.split("\t")(1).toInt
+          distSim = Some(new DistSim((0 until n).map { _ =>
+            val l = r.readLine(); val t = l.indexOf('\t')
+            l.substring(0, t) -> l.substring(t + 1)
+          }.toMap))
+        }
         else throw new IllegalArgumentException(s"unexpected model trailer: $line")
         line = r.readLine()
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns, reverse)
+        gazette, normalizeTerms, occPatterns, reverse, distSim)
     } finally r.close()
   }
 }

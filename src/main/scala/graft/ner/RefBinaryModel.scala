@@ -68,8 +68,16 @@ object RefBinaryModel {
       val normalizeTerms = flags.fields.get("normalizeTerms").contains(true)
       val occPatterns = flags.fields.get("useOccurrencePatterns").contains(true)
       val reverse = flags.fields.get("useReverse").contains(true)
+      val distSim =
+        if (!flags.fields.get("useDistSim").contains(true)) None
+        else factory.fields.get("lexicon").filter(_ != null).map { m =>
+          new DistSim(asMap(m).map { case (k, v) =>
+            k.asInstanceOf[String] -> v.asInstanceOf[String]
+          }.toMap)
+        }
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
-        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns, reverse)
+        weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
+        reverse, distSim)
     } finally in.close()
   }
 
@@ -106,10 +114,11 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    // useGazettes, useOccurrencePatterns and useReverse ARE supported
-    // (gazette maps reconstructed from the factory; occurrence patterns in
-    // their no-POS degeneration; reverse at the tag entry points)
-    val mustBeFalse = Seq("useTags", "useTaggySequences", "useDistSim",
+    // useGazettes, useOccurrencePatterns, useReverse and useDistSim ARE
+    // supported (gazette maps and the distsim lexicon reconstructed from the
+    // serialized factory; occurrence patterns in their no-POS degeneration;
+    // reverse at the tag entry points)
+    val mustBeFalse = Seq("useTags", "useTaggySequences",
       "useParenMatching", "useABGENE", "useWEB", "useSymTags")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,

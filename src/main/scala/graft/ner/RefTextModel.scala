@@ -89,7 +89,8 @@ private[ner] object RefModelAssembly {
       gazette: Gazette = Gazette.empty,
       normalizeTerms: Boolean = false,
       useOccurrencePatterns: Boolean = false,
-      useReverse: Boolean = false): NerModel = {
+      useReverse: Boolean = false,
+      distSim: Option[DistSim] = None): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -126,6 +127,6 @@ private[ner] object RefModelAssembly {
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
-      gazette, normalizeTerms, useOccurrencePatterns, useReverse)
+      gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim)
   }
 }

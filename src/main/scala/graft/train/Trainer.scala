@@ -67,7 +67,9 @@ object Trainer {
       // word features over the whole document window
       useOccurrencePatterns: Boolean = false,
       // useReverse (macro preset): documents train and decode reversed
-      useReverse: Boolean = false)
+      useReverse: Boolean = false,
+      // useDistSim: cluster features from a broadcast lexicon (model state)
+      distSim: Option[graft.ner.DistSim] = None)
 
   def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -84,6 +86,7 @@ object Trainer {
     // later shape pass emits "WT-Xxk" for weekday tokens. Collect fixed words.
     val normTerms = cfg.normalizeTerms
     val occPat = cfg.useOccurrencePatterns
+    val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = docs
       .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
         .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
@@ -106,19 +109,19 @@ object Trainer {
     val sorted: Array[(Int, String)] =
       if (!cfg.removeBackgroundSingletonFeatures) {
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -201,9 +204,9 @@ object Trainer {
       val encoded = docs
         .repartition(parts)
         .map { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms)
+          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
           val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value, occPat)
+          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined)
           (enc, d.labels.map(classOf).toArray)
         }
         .cache()
@@ -277,26 +280,32 @@ object Trainer {
     }
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
-      cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse)
+      cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim)
   }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then
     * the word fix — identical to NerModel.preprocess but usable pre-model.
     */
   def preprocess(words: IndexedSeq[String], knownLC: Set[String],
-      normalizeTerms: Boolean = false): IndexedSeq[NerFeatures.Tok] =
-    words.map(w => NerFeatures.Tok(fixWord(w, normalizeTerms), WordShape.dan2(w, knownLC.contains)))
+      normalizeTerms: Boolean = false,
+      distSim: Option[graft.ner.DistSim] = None): IndexedSeq[NerFeatures.Tok] =
+    words.map { w =>
+      val fixed = fixWord(w, normalizeTerms)
+      NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
+        distSim.map(_.clusterOf(fixed)).orNull)
+    }
 
   @inline private def fixWord(w: String, normalizeTerms: Boolean): String =
     if (normalizeTerms) graft.text.Americanize.fixWordNormalizeTerms(w)
     else WordShape.fixWord(w)
 
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
-      gaz: Gazette = Gazette.empty, occPatterns: Boolean = false): Crf.EncodedDoc = {
+      gaz: Gazette = Gazette.empty, occPatterns: Boolean = false,
+      useDistSim: Boolean = false): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
-      out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns).map { feats =>
+      out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

@@ -400,4 +400,62 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"useReverse-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  test("DISTSIM differential: reference trained with -useDistSim matches our tags (lexicon from the bundle)") {
+    // synthetic distsim lexicon covering part of the vocabulary (unknown
+    // words exercise the literal-"null" path; pads exercise get vs getString)
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refdistsim"
+    RefFixtures.main(Array(dir))
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases, orgSuffixes}
+    val lexLines =
+      (firstNames.map(w => s"${w.toLowerCase} C_FIRST") ++
+        lastNames.take(12).map(w => s"${w.toLowerCase} C_LAST") ++ // partial: rest unknown
+        locations.map(w => s"${w.toLowerCase} C_CITY") ++
+        orgBases.take(10).map(w => s"${w.toLowerCase} C_ORG") ++
+        orgSuffixes.map(w => s"${w.toLowerCase} C_CORPSUF") ++
+        Seq("works C_V", "at C_P", "in C_P", "the C_DET", "visited C_V", "monday C_DAY"))
+    Files.writeString(Paths.get(s"$dir/distsim.txt"), lexLines.mkString("\n") + "\n")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refds.ser.gz",
+      "-conllNoTags", "true", "-useDistSim", "true", "-distSimLexicon", s"$dir/distsim.txt") == 0,
+      "distsim training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refds.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-useDistSim", "true", "-distSimLexicon", s"$dir/distsim.txt")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refds.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.distSim.isDefined, "distsim lexicon not reconstructed from the bundle")
+    info(s"distsim model: ${model.numFeatures} features, lexicon ${model.distSim.get.size} words")
+    assert(model.featureIndex.containsKey("C_CITY-DISTSIM|C"), "cluster feature missing from dictionary")
+    assert(model.featureIndex.containsKey("null-DISTSIM|C"), "unknown-word 'null' cluster missing")
+
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"distsim-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }
