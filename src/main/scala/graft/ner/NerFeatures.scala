@@ -30,8 +30,11 @@ object NerFeatures {
     * `ds` is the distsim cluster ("null" when the word is not in the lexicon,
     * per distSimAnnotate) or null when distsim is off / the token is a pad.
     */
-  final case class Tok(word: String, shape: String, ds: String = null)
+  final case class Tok(word: String, shape: String, ds: String = null, tag: String = null)
   val Pad: Tok = Tok("", null)
+
+  // POS-tag accessor, getString semantics (pad/absent -> "")
+  @inline private def tagGS(t: Tok): String = if (t.tag == null) "" else t.tag
 
   // distsim accessors mirroring the reference's get vs getString semantics
   @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
@@ -76,7 +79,11 @@ object NerFeatures {
     featuresAt(toks, loc, gaz, occPatterns, useDistSim = false)
 
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
-      useDistSim: Boolean): Array[Array[String]] = {
+      useDistSim: Boolean): Array[Array[String]] =
+    featuresAt(toks, loc, gaz, occPatterns, useDistSim, useTags = false, useTaggySeq = false)
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
+      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -100,10 +107,16 @@ object NerFeatures {
     }
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
+    if (useTags)                                               // useTags (:943)
+      g0.add(tagGS(c) + "-TAG|C")
     g0.add(pWord + "-PW|C")                                   // usePrev (:963)
+    if (useTags)                                               // usePrev+useTags (:963-965)
+      g0.add(tagGS(p) + "-PTAG|C")
     if (useDistSim)                                            // usePrev+useDistSim (:966)
       g0.add(dsGet(p) + "-PDISTSIM|C")
     g0.add(nWord + "-NW|C")                                   // useNext (:980)
+    if (useTags)                                               // useNext+useTags (:979-981)
+      g0.add(tagGS(nt) + "-NTAG|C")
     if (useDistSim)                                            // useNext+useDistSim (:982)
       // the reference reads the PREVIOUS token's cluster here — mirrored
       g0.add(dsGet(p) + "-NDISTSIM|C")
@@ -190,11 +203,15 @@ object NerFeatures {
     g1.add(pShapeS + "-" + cShape + "-TYPES|CpC")             // useTypeSeqs2 (:1571)
     g1.add(shapeGet(c) + "-TPS2|CpC")                         // useTypeySequences (:1576)
     g1.add(shapeGet(nt) + "-TNS1|CpC")
+    if (useTaggySeq && useTags)                                // useTaggySequences (:1583)
+      g1.add(tagGS(p) + "-" + tagGS(c) + "-TS|CpC")
 
     // ---- group 2: Cp2C (empty under preset) + CpCp2C ----
     val g2 = new java.util.LinkedHashSet[String]()
     g2.add("PPSEQ|CpCp2C")                                    // useLongSequences (:1796)
     if (pWord == Boundary) g2.add("BNDRY-SPAN-PPSEQ|CpCp2C")  // useBoundarySequences (:1799)
+    if (useTaggySeq && useTags)                                // useTaggySequences (:1812-1814)
+      g2.add(tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-TTS|CpCp2C")
     g2.add(shapeGet(p2) + "-" + shapeGet(p) + "-" + shapeGet(c) + "-TYPETYPES|CpCp2C") // (:1827)
 
     Array(g0.toArray(new Array[String](g0.size)),

@@ -37,6 +37,9 @@ object NerFeaturesFast {
   // distsim via `getString` semantics: absent -> ""
   @inline private def hDsGS(acc: Long, t: Tok): Long =
     if (t.ds == null) acc else h(acc, t.ds)
+  // POS tag via `getString` semantics: absent -> ""
+  @inline private def hTagGS(acc: Long, t: Tok): Long =
+    if (t.tag == null) acc else h(acc, t.tag)
 
   /** Open-address long->int map (power-of-two capacity, linear probing).
     * Empty slots marked by value == -1; key 0 is permitted.
@@ -109,7 +112,13 @@ object NerFeaturesFast {
     idsAt(toks, loc, dict, scratch, gaz, occPatterns, useDistSim = false)
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
-      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean): Array[Array[Int]] = {
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, gaz, occPatterns, useDistSim,
+      useTags = false, useTaggySeq = false)
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
+      useTags: Boolean, useTaggySeq: Boolean): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -151,9 +160,12 @@ object NerFeaturesFast {
       i0 += 1
     }
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, p), "-PTAG"), suffixC))
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-PDISTSIM"), suffixC))
     emit(h(h(h(FnvOffset, nWord), "-NW"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, nt), "-NTAG"), suffixC))
     // reference bug mirrored: NDISTSIM reads the PREVIOUS token's cluster
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-NDISTSIM"), suffixC))
     emit(h(h(h(hc(h(FnvOffset, cWord), '-'), pWord), "-W-PW"), suffixC))
@@ -235,12 +247,16 @@ object NerFeaturesFast {
     emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-TYPES"), suffixCpC))
     emit(h(h(hShapeGet(FnvOffset, c), "-TPS2"), suffixCpC))
     emit(h(h(hShapeGet(FnvOffset, nt), "-TNS1"), suffixCpC))
+    if (useTaggySeq && useTags)
+      emit(h(h(hTagGS(hc(hTagGS(FnvOffset, p), '-'), c), "-TS"), suffixCpC))
     val g1n = resolve(1, dict, scratch, hn)
 
     // ---- group 2: CpCp2C ----
     hn = 0
     emit(h(h(FnvOffset, "PPSEQ"), suffixCpCp2C))
     if (pWord == NerFeatures.Boundary) emit(h(h(FnvOffset, "BNDRY-SPAN-PPSEQ"), suffixCpCp2C))
+    if (useTaggySeq && useTags)
+      emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p2), '-'), p), '-'), c), "-TTS"), suffixCpCp2C))
     emit(h(h(hShapeGet(hc(hShapeGet(hc(hShapeGet(FnvOffset, p2), '-'), p), '-'), c), "-TYPETYPES"), suffixCpCp2C))
     val g2n = resolve(2, dict, scratch, hn)
 

@@ -42,7 +42,14 @@ final class NerModel(
     // useDistSim (NERFeatureFactory.java:497-530,763-772,966,982,1553-1555):
     // distributional-similarity cluster features from a lexicon that is part
     // of the model state (the reference serializes it inside the factory)
-    val distSim: Option[DistSim] = None
+    val distSim: Option[DistSim] = None,
+    // useTags / useTaggySequences (goodCoNLL families): POS-tag templates
+    // (t-TAG, pt-PTAG, nt-NTAG; pt-t-TS; p2t-pt-t-TTS). Tags come from the
+    // caller's column data (`word=0,tag=1,answer=2`); documents tagged
+    // WITHOUT tags degrade to empty-string values exactly like the reference
+    // (getString semantics).
+    val useTags: Boolean = false,
+    val useTaggySequences: Boolean = false
 ) extends Serializable {
   require(!(useReverse && useOccurrencePatterns),
     "useReverse + useOccurrencePatterns together are not implemented (direction-flipped scans)")
@@ -110,7 +117,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined)
+        distSim.isDefined, useTags, useTaggySequences)
       pos += 1
     }
     out
@@ -136,7 +143,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined)
+        distSim.isDefined, useTags, useTaggySequences)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -150,6 +157,28 @@ final class NerModel(
       pos += 1
     }
     out
+  }
+
+  /** Viterbi-tag a POS-tagged document (column data `word=0,tag=1,answer=2`,
+    * ColumnDocumentReaderAndWriter semantics): tags feed the useTags /
+    * useTaggySequences templates.
+    */
+  def tag(words: IndexedSeq[String], tags: IndexedSeq[String]): Array[String] = {
+    require(words.length == tags.length, s"${words.length} words vs ${tags.length} tags")
+    if (words.isEmpty) return Array.empty
+    val (inW, inT) = if (useReverse) (words.reverse, tags.reverse) else (words, tags)
+    val toks = inW.indices.map { i =>
+      val w = inW(i)
+      val fixed = fix(w)
+      NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
+        distSim.map(_.clusterOf(fixed)).orNull, inT(i))
+    }
+    val s = scratch.get()
+    val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
+      NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
+        distSim.isDefined, useTags, useTaggySequences))
+    val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
+    if (useReverse) out.reverse else out
   }
 
   /** Viterbi-tag one document of raw words; returns a label per token. */
@@ -289,6 +318,8 @@ object NerModel {
       if (m.normalizeTerms) w.write("opt\tnormalizeTerms\ttrue\n")
       if (m.useOccurrencePatterns) w.write("opt\tuseOccurrencePatterns\ttrue\n")
       if (m.useReverse) w.write("opt\tuseReverse\ttrue\n")
+      if (m.useTags) w.write("opt\tuseTags\ttrue\n")
+      if (m.useTaggySequences) w.write("opt\tuseTaggySequences\ttrue\n")
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
         ds.lexicon.toSeq.sorted.foreach { case (k, v) => w.write(s"$k\t$v\n") }
@@ -337,12 +368,16 @@ object NerModel {
       var occPatterns = false
       var reverse = false
       var distSim: Option[DistSim] = None
+      var tagsFlag = false
+      var taggySeq = false
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
         else if (line == "opt\tnormalizeTerms\ttrue") normalizeTerms = true
         else if (line == "opt\tuseOccurrencePatterns\ttrue") occPatterns = true
         else if (line == "opt\tuseReverse\ttrue") reverse = true
+        else if (line == "opt\tuseTags\ttrue") tagsFlag = true
+        else if (line == "opt\tuseTaggySequences\ttrue") taggySeq = true
         else if (line.startsWith("distsim\t")) {
           val n = line.split("\t")(1).toInt
           distSim = Some(new DistSim((0 until n).map { _ =>
@@ -355,7 +390,7 @@ object NerModel {
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns, reverse, distSim)
+        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq)
     } finally r.close()
   }
 }

@@ -75,9 +75,11 @@ object RefBinaryModel {
             k.asInstanceOf[String] -> v.asInstanceOf[String]
           }.toMap)
         }
+      val useTags = flags.fields.get("useTags").contains(true)
+      val useTaggySeq = flags.fields.get("useTaggySequences").contains(true)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim)
+        reverse, distSim, useTags, useTaggySeq)
     } finally in.close()
   }
 
@@ -114,12 +116,16 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    // useGazettes, useOccurrencePatterns, useReverse and useDistSim ARE
-    // supported (gazette maps and the distsim lexicon reconstructed from the
-    // serialized factory; occurrence patterns in their no-POS degeneration;
-    // reverse at the tag entry points)
-    val mustBeFalse = Seq("useTags", "useTaggySequences",
-      "useParenMatching", "useABGENE", "useWEB", "useSymTags")
+    // useGazettes, useOccurrencePatterns, useReverse, useDistSim, useTags and
+    // useTaggySequences ARE supported (gazette maps / distsim lexicon
+    // reconstructed from the serialized factory; occurrence patterns in their
+    // no-POS degeneration — reject the tagged combination below)
+    val mustBeFalse = Seq("useParenMatching", "useABGENE", "useWEB", "useSymTags")
+    // occurrence patterns' NNP-gated variants only fire with tags; we
+    // implement the no-POS degeneration, so the combination is unsupported
+    if (flags.fields.get("useOccurrencePatterns").contains(true))
+      require(!flags.fields.get("useTags").contains(true),
+        "useOccurrencePatterns + useTags is not implemented (NNP-gated occurrence variants)")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -90,7 +90,9 @@ private[ner] object RefModelAssembly {
       normalizeTerms: Boolean = false,
       useOccurrencePatterns: Boolean = false,
       useReverse: Boolean = false,
-      distSim: Option[DistSim] = None): NerModel = {
+      distSim: Option[DistSim] = None,
+      useTags: Boolean = false,
+      useTaggySequences: Boolean = false): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -127,6 +129,7 @@ private[ner] object RefModelAssembly {
     val layout = new WeightLayout(numClasses, windowSize,
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
-      gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim)
+      gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
+      useTags, useTaggySequences)
   }
 }

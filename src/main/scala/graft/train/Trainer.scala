@@ -11,7 +11,8 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * "O"), pre-tokenized — the unit the reference's column reader produces
   * (/root/reference/src/edu/stanford/nlp/sequences/ColumnDocumentReaderAndWriter.java:46-72).
   */
-final case class LabeledDoc(words: Seq[String], labels: Seq[String])
+final case class LabeledDoc(words: Seq[String], labels: Seq[String],
+    tags: Seq[String] = Seq.empty)
 
 /** Distributed CRF training: dictionary-build jobs + L-BFGS on the driver over
   * a `treeAggregate`d (value, gradient) — the classic Spark convex-optimization
@@ -69,7 +70,10 @@ object Trainer {
       // useReverse (macro preset): documents train and decode reversed
       useReverse: Boolean = false,
       // useDistSim: cluster features from a broadcast lexicon (model state)
-      distSim: Option[graft.ner.DistSim] = None)
+      distSim: Option[graft.ner.DistSim] = None,
+      // useTags / useTaggySequences: POS-tag templates over LabeledDoc.tags
+      useTags: Boolean = false,
+      useTaggySequences: Boolean = false)
 
   def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -77,7 +81,7 @@ object Trainer {
     // useReverse: physically reverse every doc before anything else, like the
     // reference's Collections.reverse(doc) at read time
     val docs = if (!cfg.useReverse) docs0
-      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse))
+      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse, d.tags.reverse))
     docs.cache()
 
     // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68).
@@ -86,6 +90,8 @@ object Trainer {
     // later shape pass emits "WT-Xxk" for weekday tokens. Collect fixed words.
     val normTerms = cfg.normalizeTerms
     val occPat = cfg.useOccurrencePatterns
+    val useTg = cfg.useTags
+    val useTgSeq = cfg.useTaggySequences
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = docs
       .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
@@ -109,19 +115,19 @@ object Trainer {
     val sorted: Array[(Int, String)] =
       if (!cfg.removeBackgroundSingletonFeatures) {
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
+          val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
+          val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -204,9 +210,9 @@ object Trainer {
       val encoded = docs
         .repartition(parts)
         .map { d =>
-          val toks = preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value)
+          val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined)
+          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
           (enc, d.labels.map(classOf).toArray)
         }
         .cache()
@@ -280,8 +286,17 @@ object Trainer {
     }
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
-      cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim)
+      cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
+      cfg.useTags, cfg.useTaggySequences)
   }
+
+  /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
+  def withTags(toks: IndexedSeq[NerFeatures.Tok], tags: Seq[String]): IndexedSeq[NerFeatures.Tok] =
+    if (tags.isEmpty) toks
+    else {
+      require(tags.length == toks.length, s"${toks.length} toks vs ${tags.length} tags")
+      toks.indices.map(i => toks(i).copy(tag = tags(i)))
+    }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then
     * the word fix — identical to NerModel.preprocess but usable pre-model.
@@ -301,11 +316,13 @@ object Trainer {
 
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
       gaz: Gazette = Gazette.empty, occPatterns: Boolean = false,
-      useDistSim: Boolean = false): Crf.EncodedDoc = {
+      useDistSim: Boolean = false, useTags: Boolean = false,
+      useTaggySeq: Boolean = false): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
-      out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim).map { feats =>
+      out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
+        useTags, useTaggySeq).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

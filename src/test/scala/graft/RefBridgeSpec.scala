@@ -458,4 +458,103 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"distsim-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  test("POS-TAG differential: reference trained with -useTags -useTaggySequences matches our tags") {
+    // 3-column data (word TAB tag TAB answer, -map word=0,tag=1,answer=2)
+    // with a deterministic synthetic POS function shared by both sides.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/reftags"
+    Files.createDirectories(Paths.get(dir))
+    def posOf(word: String, label: String): String =
+      if (label != "O") "NNP"
+      else if (word.forall(c => !c.isLetterOrDigit)) word // PTB-style punct tags
+      else if (word.forall(_.isDigit)) "CD"
+      else if (Set("the", "a", "an").contains(word)) "DT"
+      else if (word.endsWith("ed") || Set("works", "met", "check", "rerun", "ship", "leave", "said", "mentions").contains(word)) "VB"
+      else "NN"
+    def renderTagged(path: String, seed: Long, n: Long, meta: Option[String]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (conv <- 0L until n; t <- 0 until graft.pipeline.Transcripts.numTurns(seed, conv)
+           if !graft.pipeline.Transcripts.isToolTurn(seed, conv, t)) {
+        val (ws, ls) = graft.pipeline.Transcripts.turnTokens(seed, conv, t)
+        for (i <- ws.indices)
+          sb.append(ws(i)).append('\t').append(posOf(ws(i), ls(i))).append('\t').append(ls(i)).append('\n')
+        sb.append('\n')
+        mb.append(conv).append('\t').append(t).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    renderTagged(s"$dir/train.tsv", 42L, 400L, None)
+    renderTagged(s"$dir/test.tsv", 99L, 200L, Some(s"$dir/meta.tsv"))
+    // exploded preset (Properties ordering would otherwise be a lottery) with
+    // the 3-column map + tag families on
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,tag=1,answer=2",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      "-sigma", "20.0", "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
+      "-useTags", "true", "-useTaggySequences", "true")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/reftags.ser.gz") == 0,
+      "tagged training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/reftags.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/reftags.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useTags && model.useTaggySequences, "tag flags not carried out of the bundle")
+    assert(model.featureIndex.containsKey("NNP-TAG|C"), "tag feature missing from dictionary")
+    assert(model.featureIndex.containsKey("NNP-NNP-TS|CpC"), "taggy-sequence feature missing")
+
+    // NOTE: the reference parses its own 3-column output as word TAB tag TAB
+    // chunk TAB gold TAB guess? For ColumnDocumentReaderAndWriter the printed
+    // columns are word, gold, guess when map has 3 cols -> parse the LAST col.
+    def parseLastCol(path: java.nio.file.Path): Vector[Vector[String]] = {
+      val docs = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]
+      var nonEmpty = false
+      Files.readAllLines(path).asScala.foreach { line =>
+        if (line.trim.isEmpty) {
+          if (nonEmpty) { docs += cur.result(); cur = Vector.newBuilder[String]; nonEmpty = false }
+        } else { cur += line.split("\t").last; nonEmpty = true }
+      }
+      if (nonEmpty) docs += cur.result()
+      docs.result()
+    }
+    val refTags = parseLastCol(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toLong, p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((convId, turnIdx, n), theirs) =>
+      val (words, labels) = graft.pipeline.Transcripts.turnTokens(99L, convId, turnIdx)
+      val tags = words.indices.map(i => posOf(words(i), labels(i)))
+      val ours = model.tag(words, tags)
+      require(ours.length == n && theirs.length == n)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"conv$convId/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"pos-tag-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
 }
