@@ -14,52 +14,19 @@ package graft.text
   */
 object Americanize {
 
-  // word map (converters -> converted, Americanize.java:146-149)
-  private val mapping: Map[String, String] = Map(
-    "anaesthetic" -> "anesthetic", "analogue" -> "analog", "analogues" -> "analogs",
-    "analyse" -> "analyze", "analysed" -> "analyzed", "analysing" -> "analyzing",
-    "armoured" -> "armored", "cancelled" -> "canceled", "cancelling" -> "canceling",
-    "candour" -> "candor", "capitalise" -> "capitalize", "capitalised" -> "capitalized",
-    "capitalisation" -> "capitalization", "centre" -> "center", "chimaeric" -> "chimeric",
-    "clamour" -> "clamor", "coloured" -> "colored", "colouring" -> "coloring",
-    "defence" -> "defense", "detour" -> "detour", "discolour" -> "discolor",
-    "discolours" -> "discolors", "discoloured" -> "discolored", "discolouring" -> "discoloring",
-    "encyclopaedia" -> "encyclopedia", "endeavour" -> "endeavor", "endeavours" -> "endeavors",
-    "endeavoured" -> "endeavored", "endeavouring" -> "endeavoring", "fervour" -> "fervor",
-    "favour" -> "favor", "favours" -> "favors", "favoured" -> "favored",
-    "favouring" -> "favoring", "favourite" -> "favorite", "favourites" -> "favorites",
-    "fibre" -> "fiber", "fibres" -> "fibers", "finalise" -> "finalize",
-    "finalised" -> "finalized", "finalising" -> "finalizing", "flavour" -> "flavor",
-    "flavours" -> "flavors", "flavoured" -> "flavored", "flavouring" -> "flavoring",
-    "glamour" -> "glamour", "grey" -> "gray", "harbour" -> "harbor", "harbours" -> "harbors",
-    "homologue" -> "homolog", "homologues" -> "homologs", "honour" -> "honor",
-    "honours" -> "honors", "honoured" -> "honored", "honouring" -> "honoring",
-    "honourable" -> "honorable", "humour" -> "humor", "humours" -> "humors",
-    "humoured" -> "humored", "humouring" -> "humoring", "kerb" -> "curb",
-    "labelled" -> "labeled", "labelling" -> "labeling", "labour" -> "labor",
-    "labours" -> "labors", "laboured" -> "labored", "labouring" -> "laboring",
-    "leant" -> "leaned", "learnt" -> "learned", "localise" -> "localize",
-    "localised" -> "localized", "manoeuvre" -> "maneuver", "manoeuvres" -> "maneuvers",
-    "maximise" -> "maximize", "maximised" -> "maximized", "maximising" -> "maximizing",
-    "meagre" -> "meager", "minimise" -> "minimize", "minimised" -> "minimized",
-    "minimising" -> "minimizing", "modernise" -> "modernize", "modernised" -> "modernized",
-    "modernising" -> "modernizing", "misdemeanour" -> "misdemeanor",
-    "misdemeanours" -> "misdemeanors", "neighbour" -> "neighbor", "neighbours" -> "neighbors",
-    "neighbourhood" -> "neighborhood", "neighbourhoods" -> "neighborhoods",
-    "oestrogen" -> "estrogen", "oestrogens" -> "estrogens", "organisation" -> "organization",
-    "organisations" -> "organizations", "penalise" -> "penalize", "penalised" -> "penalized",
-    "popularise" -> "popularize", "popularised" -> "popularized",
-    "popularises" -> "popularizes", "popularising" -> "popularizing",
-    "practise" -> "practice", "practised" -> "practiced", "pressurise" -> "pressurize",
-    "pressurised" -> "pressurized", "pressurises" -> "pressurizes",
-    "pressurising" -> "pressurizing", "realise" -> "realize", "realised" -> "realized",
-    "realising" -> "realizing", "realises" -> "realizes", "recognise" -> "recognize",
-    "recognised" -> "recognized", "recognising" -> "recognizing", "recognises" -> "recognizes",
-    "rumoured" -> "rumored", "rumouring" -> "rumoring", "savour" -> "savor",
-    "savours" -> "savors", "savoured" -> "savored", "savouring" -> "savoring",
-    "splendour" -> "splendor", "splendours" -> "splendors", "theatre" -> "theater",
-    "theatres" -> "theaters", "titre" -> "titer", "titres" -> "titers",
-    "travelled" -> "traveled", "travelling" -> "traveling")
+  // word map (converters -> converted, Americanize.java:146-149) — behavioral
+  // DATA, not code: shipped as a resource table so the mapping reads as what
+  // it is, a spelling dictionary (includes the identity entries — glamour,
+  // detour — that deliberately BLOCK the pattern rewrites)
+  private val mapping: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/americanize.tsv")
+    require(in != null, "americanize.tsv resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val t = l.indexOf('\t'); (l.substring(0, t), l.substring(t + 1))
+    }.toMap
+    finally src.close()
+  }
 
   // month/day capitalization map, applied only when capitalizeTimex
   // (Americanize.java:152-156; "march" and "may" are deliberately absent)

@@ -73,7 +73,17 @@ object Trainer {
       distSim: Option[graft.ner.DistSim] = None,
       // useTags / useTaggySequences: POS-tag templates over LabeledDoc.tags
       useTags: Boolean = false,
-      useTaggySequences: Boolean = false)
+      useTaggySequences: Boolean = false,
+      // optimizer: "qn" (default; flags.useQN) or "sgd" — the SGD-family
+      // analogue (SGDMinimizer etc., selected by CRFClassifier.getMinimizer,
+      // :1114-1146). The reference's per-example sequential updates don't
+      // distribute, so this is MINIBATCH SGD: per step, the gradient of a
+      // deterministic sample scaled to the corpus, plus the prior; decaying
+      // gain. Same objective, different optimizer — not a parity surface.
+      optimizer: String = "qn",
+      sgdEpochs: Int = 60,
+      sgdBatchFraction: Double = 0.25,
+      sgdGain: Double = 0.5)
 
   def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -256,7 +266,46 @@ object Trainer {
         }
       }
 
-      val xStar = lbfgs.minimize(diff, DenseVector.zeros[Double](n))
+      val xStar =
+        if (cfg.optimizer == "qn") lbfgs.minimize(diff, DenseVector.zeros[Double](n))
+        else {
+          // minibatch SGD (SGD-family analogue): deterministic per-epoch
+          // samples, corpus-scaled gradient + prior, 1/(1+epoch/10) gain decay
+          require(cfg.optimizer == "sgd", s"unknown optimizer ${cfg.optimizer}")
+          val x = new Array[Double](n)
+          val total = encoded.count().toDouble
+          var epoch = 0
+          while (epoch < cfg.sgdEpochs) {
+            val bw = sc.broadcast(x)
+            val layoutRef = bLayout
+            val batch = encoded.rdd.sample(withReplacement = false,
+              cfg.sgdBatchFraction, seed = 0x5bdL + epoch)
+            val (gSum, nSeen) = batch.mapPartitions { it =>
+              val lay = layoutRef.value
+              val p = lay.params(bw.value)
+              val g = new Array[Double](lay.totalSize)
+              var cnt = 0L
+              it.foreach { case (doc, lab) =>
+                CrfObjective.docValueGrad(doc, lab, p, lay, g); cnt += 1
+              }
+              Iterator.single((g, cnt))
+            }.treeReduce({ (a, b) =>
+              var i = 0
+              while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+              (a._1, a._2 + b._2)
+            }, depth = 2)
+            bw.destroy()
+            val scale = if (nSeen == 0) 0.0 else total / nSeen // unbias the sample
+            val gain = cfg.sgdGain / (1.0 + epoch / 10.0) / total
+            var i = 0
+            while (i < n) {
+              x(i) -= gain * (scale * gSum(i) + x(i) / sigmaSq)
+              i += 1
+            }
+            epoch += 1
+          }
+          DenseVector(x)
+        }
       encoded.unpersist(blocking = true)
       weights = layout.toRagged(xStar.data)
 

@@ -52,6 +52,25 @@ class TrainerPruneSpec extends AnyFunSuite {
     assert(ok.toDouble / total >= 0.95)
   }
 
+  test("minibatch SGD optimizer converges to a usable model (SGD-family analogue)") {
+    val m = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(optimizer = "sgd", sgdEpochs = 80))
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = m.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    val acc = ok.toDouble / total
+    info(f"SGD held-out token accuracy = $acc%.4f over $total tokens")
+    assert(acc >= 0.93, s"acc $acc")
+    // deterministic: seeded samples -> identical weights
+    val m2 = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(optimizer = "sgd", sgdEpochs = 80))
+    assert((0 until m.numFeatures).forall(f => java.util.Arrays.equals(m.weights(f), m2.weights(f))))
+  }
+
   test("prune-retrain loop drops low-range features and keeps accuracy") {
     val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
     val pruned = Trainer.train(spark, goldDocs(150),
