@@ -69,6 +69,70 @@ object NerFeatures {
     false
   }
 
+  /** Full occurrence-pattern feature emission (NERFeatureFactory.java:1953-2018),
+    * shared by both feature paths (the emitted strings are a closed set of 9
+    * constants, so the fast path maps them to precomputed hashes). All
+    * emitted strings carry the "|C" suffix.
+    */
+  private[ner] def occurrenceFeatures(toks: IndexedSeq[Tok], loc: Int, reverse: Boolean,
+      emit: String => Unit): Unit = {
+    @inline def r(i: Int): Int = if (reverse) -i else i
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
+    val word = at(loc).word
+    val nWord = at(loc + r(1)).word
+    val pIdx = loc - r(1)
+    val pIsPad = pIdx < 0 || pIdx >= toks.length
+    val pWord = at(pIdx).word
+    if (!(isNameCase(word) && noUpperCase(nWord) && hasLetter(nWord) && hasLetter(pWord) && !pIsPad)) {
+      emit("NO-OCCURRENCE-PATTERN|C")
+      return
+    }
+    @inline def isNNP(t: Tok): Boolean = t.tag != null && t.tag == "NNP"
+    if (isNameCase(pWord) && isNNP(at(pIdx))) {
+      var jump = 3
+      while (jump < 150) {
+        if (at(loc + r(jump)).word == word) {
+          if (at(loc + r(jump - 1)).word == pWord) emit("XY-NEXT-OCCURRENCE-XY|C")
+          else emit("XY-NEXT-OCCURRENCE-Y|C")
+        }
+        jump += 1
+      }
+      jump = -3
+      while (jump > -150) {
+        if (at(loc + r(jump)).word == word) {
+          if (at(loc + r(jump - 1)).word == pWord) emit("XY-PREV-OCCURRENCE-XY|C")
+          else emit("XY-PREV-OCCURRENCE-Y|C")
+        }
+        jump -= 1
+      }
+    } else {
+      var jump = 3
+      while (jump < 150) {
+        if (at(loc + r(jump)).word == word) {
+          if (isNameCase(at(loc + r(jump - 1)).word) && isNNP(at(loc + r(jump - 1))))
+            emit("X-NEXT-OCCURRENCE-YX|C")
+          else if (isNameCase(at(loc + r(jump + 1)).word) && isNNP(at(loc + r(jump + 1))))
+            emit("X-NEXT-OCCURRENCE-XY|C")
+          else emit("X-NEXT-OCCURRENCE-X|C")
+        }
+        jump += 1
+      }
+      jump = -3
+      while (jump > -150) {
+        // reference quirk (:1998): the repeated-word check here uses loc+jump
+        // WITHOUT reverse(); the neighbor checks use reverse()
+        if (at(loc + jump).word == word) {
+          if (isNameCase(at(loc + r(jump + 1)).word) && isNNP(at(loc + r(jump + 1))))
+            emit("X-PREV-OCCURRENCE-YX|C")
+          else if (isNameCase(at(loc + r(jump - 1)).word) && isNNP(at(loc + r(jump - 1))))
+            emit("X-PREV-OCCURRENCE-XY|C")
+          else emit("X-PREV-OCCURRENCE-X|C")
+        }
+        jump -= 1
+      }
+    }
+  }
+
   def featuresAt(toks: IndexedSeq[Tok], loc: Int): Array[Array[String]] =
     featuresAt(toks, loc, Gazette.empty)
 
@@ -83,7 +147,12 @@ object NerFeatures {
     featuresAt(toks, loc, gaz, occPatterns, useDistSim, useTags = false, useTaggySeq = false)
 
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
-      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean): Array[Array[String]] = {
+      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean): Array[Array[String]] =
+    featuresAt(toks, loc, gaz, occPatterns, useDistSim, useTags, useTaggySeq, reverse = false)
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
+      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
+      reverse: Boolean): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -138,28 +207,16 @@ object NerFeatures {
       g0.add(n2.word + "..." + cShape + "-NNW_CTYPE|C")
     // useOccurrencePatterns (:1953-2018): long-range repeated-capitalized-word
     // features over the WHOLE document window (+-150 tokens, so `toks` must be
-    // the full document, not a sentence). Under a no-POS pipeline the
-    // NNP-gated variants (XY-*, X-*-YX/XY) can never fire — getString(Tag)
-    // returns "" which fails every .equals("NNP") — leaving exactly
-    // {NO-OCCURRENCE-PATTERN, X-NEXT-OCCURRENCE-X, X-PREV-OCCURRENCE-X};
-    // verified differentially against the reference trained with
-    // -conllNoTags -useOccurrencePatterns.
-    if (occPatterns) {
-      if (!(loc > 0 && isNameCase(cWord) && noUpperCase(nWord) && hasLetter(nWord) && hasLetter(pWord)))
-        g0.add("NO-OCCURRENCE-PATTERN|C")
-      else {
-        var jump = 3
-        var sawNext = false
-        val maxNext = math.min(149, toks.length - 1 - loc)
-        while (jump <= maxNext && !sawNext) { if (toks(loc + jump).word == cWord) sawNext = true; jump += 1 }
-        if (sawNext) g0.add("X-NEXT-OCCURRENCE-X|C")
-        jump = 3
-        var sawPrev = false
-        val maxPrev = math.min(149, loc)
-        while (jump <= maxPrev && !sawPrev) { if (toks(loc - jump).word == cWord) sawPrev = true; jump += 1 }
-        if (sawPrev) g0.add("X-PREV-OCCURRENCE-X|C")
-      }
-    }
+    // the full document, not a sentence). Full algorithm incl. the NNP-gated
+    // branches (which under a no-POS pipeline can never fire — getString(Tag)
+    // returns "" and fails every NNP comparison — leaving exactly
+    // {NO-OCCURRENCE-PATTERN, X-NEXT-OCCURRENCE-X, X-PREV-OCCURRENCE-X}).
+    // `reverse` negates the reference's reverse(i) indexors (the document
+    // itself is already physically reversed by the callers). One reference
+    // quirk mirrored: the else-branch PREV loop matches the repeated word at
+    // loc+jump WITHOUT reverse() (:1998) while its neighbors use reverse().
+    // All paths verified differentially (no-tags, tagged, tagged+reverse).
+    if (occPatterns) occurrenceFeatures(toks, loc, reverse, g0.add(_))
     var d = 1                                                  // useDisjunctive w=4 (:1267)
     while (d <= 4) {
       g0.add(at(loc + d).word + "-DISJN|C")

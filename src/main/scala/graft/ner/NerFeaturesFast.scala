@@ -95,10 +95,17 @@ object NerFeaturesFast {
     * dropped, matching CRFClassifier.java:200-207.
     * Returns per-group arrays sliced from scratch.
     */
-  // precomputed hashes for the occurrence-pattern constants
-  private val hNoOcc = fnv("NO-OCCURRENCE-PATTERN|C")
-  private val hNextOcc = fnv("X-NEXT-OCCURRENCE-X|C")
-  private val hPrevOcc = fnv("X-PREV-OCCURRENCE-X|C")
+  // precomputed hashes for the occurrence-pattern constants (closed set of 9)
+  private val occHash: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    for (s <- Seq("NO-OCCURRENCE-PATTERN|C",
+      "XY-NEXT-OCCURRENCE-XY|C", "XY-NEXT-OCCURRENCE-Y|C",
+      "XY-PREV-OCCURRENCE-XY|C", "XY-PREV-OCCURRENCE-Y|C",
+      "X-NEXT-OCCURRENCE-YX|C", "X-NEXT-OCCURRENCE-XY|C", "X-NEXT-OCCURRENCE-X|C",
+      "X-PREV-OCCURRENCE-YX|C", "X-PREV-OCCURRENCE-XY|C", "X-PREV-OCCURRENCE-X|C"))
+      m.put(s, java.lang.Long.valueOf(fnv(s)))
+    m
+  }
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch): Array[Array[Int]] =
     idsAt(toks, loc, dict, scratch, Gazette.empty, occPatterns = false)
@@ -118,7 +125,13 @@ object NerFeaturesFast {
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
       gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
-      useTags: Boolean, useTaggySeq: Boolean): Array[Array[Int]] = {
+      useTags: Boolean, useTaggySeq: Boolean): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, gaz, occPatterns, useDistSim, useTags, useTaggySeq,
+      reverse = false)
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
+      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -183,24 +196,10 @@ object NerFeaturesFast {
       emit(h(h(h(h(h(FnvOffset, p2.word), "..."), cShapeGS), "-PPW_CTYPE"), suffixC))
     if (nWord.length <= 3)
       emit(h(h(h(h(h(FnvOffset, n2.word), "..."), cShapeGS), "-NNW_CTYPE"), suffixC))
-    // occurrence patterns: mirrors NerFeatures (same emission point)
-    if (occPatterns) {
-      if (!(loc > 0 && NerFeatures.isNameCase(cWord) && NerFeatures.noUpperCase(nWord) &&
-          NerFeatures.hasLetter(nWord) && NerFeatures.hasLetter(pWord)))
-        emit(hNoOcc)
-      else {
-        var jump = 3
-        var sawNext = false
-        val maxNext = math.min(149, toks.length - 1 - loc)
-        while (jump <= maxNext && !sawNext) { if (toks(loc + jump).word == cWord) sawNext = true; jump += 1 }
-        if (sawNext) emit(hNextOcc)
-        jump = 3
-        var sawPrev = false
-        val maxPrev = math.min(149, loc)
-        while (jump <= maxPrev && !sawPrev) { if (toks(loc - jump).word == cWord) sawPrev = true; jump += 1 }
-        if (sawPrev) emit(hPrevOcc)
-      }
-    }
+    // occurrence patterns: SHARED algorithm with the string path (the emitted
+    // strings are a closed constant set, mapped to precomputed hashes)
+    if (occPatterns)
+      NerFeatures.occurrenceFeatures(toks, loc, reverse, s => emit(occHash.get(s).longValue))
     var d = 1
     while (d <= 4) {
       emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))

@@ -35,9 +35,8 @@ final class NerModel(
     // SeqClassifierFlags.java:617): the reference physically reverses each
     // document before feature extraction and inference and un-reverses the
     // answers (CRFClassifier.makeAnswerArraysAndTagIndex / classify); we do
-    // the same at the tag() entry points. Occurrence patterns additionally
-    // flip their scan direction under reverse in the reference — that
-    // combination is rejected rather than silently mis-implemented.
+    // the same at the tag() entry points, and the occurrence-pattern scans
+    // flip their reverse(i) indexors accordingly.
     val useReverse: Boolean = false,
     // useDistSim (NERFeatureFactory.java:497-530,763-772,966,982,1553-1555):
     // distributional-similarity cluster features from a lexicon that is part
@@ -51,8 +50,6 @@ final class NerModel(
     val useTags: Boolean = false,
     val useTaggySequences: Boolean = false
 ) extends Serializable {
-  require(!(useReverse && useOccurrencePatterns),
-    "useReverse + useOccurrencePatterns together are not implemented (direction-flipped scans)")
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
     * lowercasing always (normalizeTimex is on in every 3-class preset),
@@ -117,7 +114,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences)
+        distSim.isDefined, useTags, useTaggySequences, useReverse)
       pos += 1
     }
     out
@@ -143,7 +140,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences)
+        distSim.isDefined, useTags, useTaggySequences, useReverse)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -176,7 +173,7 @@ final class NerModel(
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
       NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences))
+        distSim.isDefined, useTags, useTaggySequences, useReverse))
     val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
     if (useReverse) out.reverse else out
   }

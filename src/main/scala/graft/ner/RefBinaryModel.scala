@@ -18,10 +18,10 @@ import java.util.zip.GZIPInputStream
   * Parsed generically by JavaSerial (no reference classes on the classpath),
   * then assembled exactly like the text bridge (RefModelAssembly).
   *
-  * The flags bundle is VALIDATED, not ignored: our feature factory implements
-  * the conllNoTags template set, so a model trained with template-changing
-  * flags we don't implement (POS-tag features, distsim, gazettes) would
-  * silently mistag — reject it loudly instead.
+  * The flags bundle is VALIDATED, not ignored: a model trained with
+  * template-changing flags outside the implemented set would silently
+  * mistag — reject it loudly instead. Gazettes, distsim, POS-tag families,
+  * occurrence patterns and useReverse all load and validate.
   */
 object RefBinaryModel {
 
@@ -116,16 +116,11 @@ object RefBinaryModel {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
-    // useGazettes, useOccurrencePatterns, useReverse, useDistSim, useTags and
-    // useTaggySequences ARE supported (gazette maps / distsim lexicon
-    // reconstructed from the serialized factory; occurrence patterns in their
-    // no-POS degeneration — reject the tagged combination below)
+    // useGazettes, useOccurrencePatterns (incl. the NNP-gated variants),
+    // useReverse, useDistSim, useTags and useTaggySequences ARE all supported
+    // (gazette maps / distsim lexicon reconstructed from the serialized
+    // factory; occurrence scans honor reverse indexing)
     val mustBeFalse = Seq("useParenMatching", "useABGENE", "useWEB", "useSymTags")
-    // occurrence patterns' NNP-gated variants only fire with tags; we
-    // implement the no-POS degeneration, so the combination is unsupported
-    if (flags.fields.get("useOccurrencePatterns").contains(true))
-      require(!flags.fields.get("useTags").contains(true),
-        "useOccurrencePatterns + useTags is not implemented (NNP-gated occurrence variants)")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

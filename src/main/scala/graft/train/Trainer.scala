@@ -102,6 +102,7 @@ object Trainer {
     val occPat = cfg.useOccurrencePatterns
     val useTg = cfg.useTags
     val useTgSeq = cfg.useTaggySequences
+    val useRev = cfg.useReverse
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = docs
       .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
@@ -127,7 +128,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -137,7 +138,7 @@ object Trainer {
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -222,7 +223,7 @@ object Trainer {
         .map { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq)
+          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
           (enc, d.labels.map(classOf).toArray)
         }
         .cache()
@@ -366,12 +367,12 @@ object Trainer {
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
       gaz: Gazette = Gazette.empty, occPatterns: Boolean = false,
       useDistSim: Boolean = false, useTags: Boolean = false,
-      useTaggySeq: Boolean = false): Crf.EncodedDoc = {
+      useTaggySeq: Boolean = false, reverse: Boolean = false): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
       out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
-        useTags, useTaggySeq).map { feats =>
+        useTags, useTaggySeq, reverse).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

@@ -557,4 +557,123 @@ class RefBridgeSpec extends AnyFunSuite {
     info(f"pos-tag-model token agreement = $agreement%.5f over $total tokens")
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
+
+  // shared corpus for the goodCoNLL-shape legs: repeating NNP entities so the
+  // NNP-gated occurrence variants (XY-*, X-*-YX/XY) actually fire
+  private def occTagDoc(i: Int): (Vector[String], Vector[String], Vector[String]) = {
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    val fn = firstNames(i % firstNames.size); val ln = lastNames(i % lastNames.size)
+    val loc = locations(i % locations.size); val org = orgBases(i % orgBases.size)
+    val (ws, ls) = (i % 3) match {
+      case 0 => (Vector(fn, ln, "visited", loc, "before", ln, "returned", "to", loc, "."),
+        Vector("PERSON", "PERSON", "O", "LOCATION", "O", "PERSON", "O", "O", "LOCATION", "O"))
+      case 1 => (Vector(org, "hired", fn, ln, "although", org, "was", "hiring", "nobody", "."),
+        Vector("ORGANIZATION", "O", "PERSON", "PERSON", "O", "ORGANIZATION", "O", "O", "O", "O"))
+      case _ => (Vector(fn, ln, "stayed", "in", loc, "then", fn, ln, "left", "."),
+        Vector("PERSON", "PERSON", "O", "O", "LOCATION", "O", "PERSON", "PERSON", "O", "O"))
+    }
+    val tags = ws.lazyZip(ls).map { (w, l) =>
+      if (l != "O") "NNP"
+      else if (w.forall(c => !c.isLetterOrDigit)) w
+      else if (w.endsWith("ed") || Set("was", "left").contains(w)) "VB"
+      else "NN"
+    }.toVector
+    (ws, ls, tags)
+  }
+
+  private def runOccTagLeg(dir: String, extraFlags: Seq[String], reverseOurs: Boolean,
+      sigma: String = "20.0"): Double = {
+    val refBuild = "/tmp/refbuild"
+    Files.createDirectories(Paths.get(dir))
+    def render(path: String, range: Range, meta: Option[String]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (i <- range) {
+        val (ws, ls, ts) = occTagDoc(i)
+        for (k <- ws.indices)
+          sb.append(ws(k)).append('\t').append(ts(k)).append('\t').append(ls(k)).append('\n')
+        sb.append('\n')
+        mb.append(i).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    render(s"$dir/train.tsv", 0 until 240, None)
+    render(s"$dir/test.tsv", 1000 until 1080, Some(s"$dir/meta.tsv"))
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,tag=1,answer=2",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      "-sigma", sigma, "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
+      "-useTags", "true", "-useTaggySequences", "true",
+      "-useOccurrencePatterns", "true") ++ extraFlags
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz") == 0, "training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useTags && model.useOccurrencePatterns)
+    assert(model.useReverse == reverseOurs)
+    def parseLastCol(path: java.nio.file.Path): Vector[Vector[String]] = {
+      val docs = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]
+      var nonEmpty = false
+      Files.readAllLines(path).asScala.foreach { line =>
+        if (line.trim.isEmpty) {
+          if (nonEmpty) { docs += cur.result(); cur = Vector.newBuilder[String]; nonEmpty = false }
+        } else { cur += line.split("\t").last; nonEmpty = true }
+      }
+      if (nonEmpty) docs += cur.result()
+      docs.result()
+    }
+    val refTags = parseLastCol(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toInt, p(1).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((i, n), theirs) =>
+      val (words, _, tags) = occTagDoc(i)
+      val ours = model.tag(words, tags)
+      for (k <- 0 until n) {
+        if (ours(k) == theirs(k)) agree += 1
+        else bad += s"doc $i tok $k '${words(k)}': ours=${ours(k)} ref=${theirs(k)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"agreement = $agreement%.5f over $total tokens; sample diffs: ${bad.result().take(4).mkString(" | ")}")
+    agreement
+  }
+
+  test("GOODCONLL-SHAPE differential: tags + taggy sequences + NNP-gated occurrence patterns") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val agreement = runOccTagLeg("/tmp/refocctag", Seq.empty, reverseOurs = false)
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
+  test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // sigma 5: with sigma 20 the REFERENCE's own optimizer diverges to NaN
+    // ("Got NaN for prob in CRFLogConditionalObjectiveFunction.calculate()")
+    // on this corpus under reverse+occ+tags; stronger regularization keeps
+    // its training stable (macro itself uses sigma 3)
+    val agreement = runOccTagLeg("/tmp/refocctagrev", Seq("-useReverse", "true"),
+      reverseOurs = true, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
 }
