@@ -152,7 +152,17 @@ object NerFeatures {
 
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
       useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
-      reverse: Boolean): Array[Array[String]] = {
+      reverse: Boolean): Array[Array[String]] =
+    featuresAt(toks, loc, gaz, occPatterns, useDistSim, useTags, useTaggySeq, reverse,
+      parenMatching = false)
+
+  // paren-matching token classes (NERFeatureFactory.java:1593-1604)
+  @inline private[ner] def isOpen(w: String): Boolean = w == "(" || w == "[" || w == "-LRB-"
+  @inline private[ner] def isClose(w: String): Boolean = w == ")" || w == "]" || w == "-RRB-"
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
+      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
+      reverse: Boolean, parenMatching: Boolean): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -262,6 +272,13 @@ object NerFeatures {
     g1.add(shapeGet(nt) + "-TNS1|CpC")
     if (useTaggySeq && useTags)                                // useTaggySequences (:1583)
       g1.add(tagGS(p) + "-" + tagGS(c) + "-TS|CpC")
+    // useParenMatching (:1591-1605): close paren at c with matching open at
+    // p (roles flipped under reverse — the doc is physically reversed)
+    if (parenMatching) {
+      val hit = if (reverse) isOpen(cWord) && isClose(pWord)
+                else isClose(cWord) && isOpen(pWord)
+      if (hit) g1.add("PAREN-MATCH|CpC")
+    }
 
     // ---- group 2: Cp2C (empty under preset) + CpCp2C ----
     val g2 = new java.util.LinkedHashSet[String]()
@@ -269,6 +286,15 @@ object NerFeatures {
     if (pWord == Boundary) g2.add("BNDRY-SPAN-PPSEQ|CpCp2C")  // useBoundarySequences (:1799)
     if (useTaggySeq && useTags)                                // useTaggySequences (:1812-1814)
       g2.add(tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-TTS|CpCp2C")
+    // useParenMatching on the Cp2C clique (:1669-1683): match at distance 2
+    // only when distance 1 did NOT match (suffix |Cp2C — same factor group)
+    if (parenMatching) {
+      val hit = if (reverse)
+        isOpen(cWord) && isClose(p2.word) && !isClose(pWord)
+      else
+        isClose(cWord) && isOpen(p2.word) && !isOpen(pWord)
+      if (hit) g2.add("PAREN-MATCH|Cp2C")
+    }
     g2.add(shapeGet(p2) + "-" + shapeGet(p) + "-" + shapeGet(c) + "-TYPETYPES|CpCp2C") // (:1827)
 
     Array(g0.toArray(new Array[String](g0.size)),

@@ -131,7 +131,17 @@ object NerFeaturesFast {
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
       gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
-      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean): Array[Array[Int]] = {
+      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean): Array[Array[Int]] =
+    idsAt(toks, loc, dict, scratch, gaz, occPatterns, useDistSim, useTags, useTaggySeq,
+      reverse, parenMatching = false)
+
+  private val hParenCpC = fnv("PAREN-MATCH|CpC")
+  private val hParenCp2C = fnv("PAREN-MATCH|Cp2C")
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
+      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
+      parenMatching: Boolean): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -248,6 +258,11 @@ object NerFeaturesFast {
     emit(h(h(hShapeGet(FnvOffset, nt), "-TNS1"), suffixCpC))
     if (useTaggySeq && useTags)
       emit(h(h(hTagGS(hc(hTagGS(FnvOffset, p), '-'), c), "-TS"), suffixCpC))
+    if (parenMatching) {
+      val hit = if (reverse) NerFeatures.isOpen(cWord) && NerFeatures.isClose(pWord)
+                else NerFeatures.isClose(cWord) && NerFeatures.isOpen(pWord)
+      if (hit) emit(hParenCpC)
+    }
     val g1n = resolve(1, dict, scratch, hn)
 
     // ---- group 2: CpCp2C ----
@@ -256,6 +271,13 @@ object NerFeaturesFast {
     if (pWord == NerFeatures.Boundary) emit(h(h(FnvOffset, "BNDRY-SPAN-PPSEQ"), suffixCpCp2C))
     if (useTaggySeq && useTags)
       emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p2), '-'), p), '-'), c), "-TTS"), suffixCpCp2C))
+    if (parenMatching) {
+      val hit = if (reverse)
+        NerFeatures.isOpen(cWord) && NerFeatures.isClose(p2.word) && !NerFeatures.isClose(pWord)
+      else
+        NerFeatures.isClose(cWord) && NerFeatures.isOpen(p2.word) && !NerFeatures.isOpen(pWord)
+      if (hit) emit(hParenCp2C)
+    }
     emit(h(h(hShapeGet(hc(hShapeGet(hc(hShapeGet(FnvOffset, p2), '-'), p), '-'), c), "-TYPETYPES"), suffixCpCp2C))
     val g2n = resolve(2, dict, scratch, hn)
 

@@ -48,7 +48,10 @@ final class NerModel(
     // WITHOUT tags degrade to empty-string values exactly like the reference
     // (getString semantics).
     val useTags: Boolean = false,
-    val useTaggySequences: Boolean = false
+    val useTaggySequences: Boolean = false,
+    // useParenMatching (NERFeatureFactory.java:1591-1605,1669-1683): matched
+    // open/close paren features on the CpC and Cp2C cliques
+    val useParenMatching: Boolean = false
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -114,7 +117,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching)
       pos += 1
     }
     out
@@ -140,7 +143,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -173,7 +176,7 @@ final class NerModel(
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
       NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse))
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching))
     val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
     if (useReverse) out.reverse else out
   }
@@ -316,6 +319,7 @@ object NerModel {
       if (m.useOccurrencePatterns) w.write("opt\tuseOccurrencePatterns\ttrue\n")
       if (m.useReverse) w.write("opt\tuseReverse\ttrue\n")
       if (m.useTags) w.write("opt\tuseTags\ttrue\n")
+      if (m.useParenMatching) w.write("opt\tuseParenMatching\ttrue\n")
       if (m.useTaggySequences) w.write("opt\tuseTaggySequences\ttrue\n")
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
@@ -367,6 +371,7 @@ object NerModel {
       var distSim: Option[DistSim] = None
       var tagsFlag = false
       var taggySeq = false
+      var paren = false
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
@@ -375,6 +380,7 @@ object NerModel {
         else if (line == "opt\tuseReverse\ttrue") reverse = true
         else if (line == "opt\tuseTags\ttrue") tagsFlag = true
         else if (line == "opt\tuseTaggySequences\ttrue") taggySeq = true
+        else if (line == "opt\tuseParenMatching\ttrue") paren = true
         else if (line.startsWith("distsim\t")) {
           val n = line.split("\t")(1).toInt
           distSim = Some(new DistSim((0 until n).map { _ =>
@@ -387,7 +393,7 @@ object NerModel {
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq)
+        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren)
     } finally r.close()
   }
 }

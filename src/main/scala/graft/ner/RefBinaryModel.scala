@@ -77,9 +77,10 @@ object RefBinaryModel {
         }
       val useTags = flags.fields.get("useTags").contains(true)
       val useTaggySeq = flags.fields.get("useTaggySequences").contains(true)
+      val paren = flags.fields.get("useParenMatching").contains(true)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim, useTags, useTaggySeq)
+        reverse, distSim, useTags, useTaggySeq, paren)
     } finally in.close()
   }
 
@@ -120,7 +121,7 @@ object RefBinaryModel {
     // useReverse, useDistSim, useTags and useTaggySequences ARE all supported
     // (gazette maps / distsim lexicon reconstructed from the serialized
     // factory; occurrence scans honor reverse indexing)
-    val mustBeFalse = Seq("useParenMatching", "useABGENE", "useWEB", "useSymTags")
+    val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -92,7 +92,8 @@ private[ner] object RefModelAssembly {
       useReverse: Boolean = false,
       distSim: Option[DistSim] = None,
       useTags: Boolean = false,
-      useTaggySequences: Boolean = false): NerModel = {
+      useTaggySequences: Boolean = false,
+      useParenMatching: Boolean = false): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -130,6 +131,6 @@ private[ner] object RefModelAssembly {
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
-      useTags, useTaggySequences)
+      useTags, useTaggySequences, useParenMatching)
   }
 }

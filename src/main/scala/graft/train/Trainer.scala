@@ -74,6 +74,8 @@ object Trainer {
       // useTags / useTaggySequences: POS-tag templates over LabeledDoc.tags
       useTags: Boolean = false,
       useTaggySequences: Boolean = false,
+      // useParenMatching: matched open/close paren features (CpC + Cp2C)
+      useParenMatching: Boolean = false,
       // optimizer: "qn" (default; flags.useQN) or "sgd" — the SGD-family
       // analogue (SGDMinimizer etc., selected by CRFClassifier.getMinimizer,
       // :1114-1146). The reference's per-example sequential updates don't
@@ -103,6 +105,7 @@ object Trainer {
     val useTg = cfg.useTags
     val useTgSeq = cfg.useTaggySequences
     val useRev = cfg.useReverse
+    val useParen = cfg.useParenMatching
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = docs
       .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
@@ -128,7 +131,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -138,7 +141,7 @@ object Trainer {
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -223,7 +226,7 @@ object Trainer {
         .map { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev)
+          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
           (enc, d.labels.map(classOf).toArray)
         }
         .cache()
@@ -337,7 +340,7 @@ object Trainer {
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
       cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
-      cfg.useTags, cfg.useTaggySequences)
+      cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching)
   }
 
   /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
@@ -367,12 +370,13 @@ object Trainer {
   def encodeWith(toks: IndexedSeq[NerFeatures.Tok], dict: java.util.HashMap[String, Integer],
       gaz: Gazette = Gazette.empty, occPatterns: Boolean = false,
       useDistSim: Boolean = false, useTags: Boolean = false,
-      useTaggySeq: Boolean = false, reverse: Boolean = false): Crf.EncodedDoc = {
+      useTaggySeq: Boolean = false, reverse: Boolean = false,
+      parenMatching: Boolean = false): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
       out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
-        useTags, useTaggySeq, reverse).map { feats =>
+        useTags, useTaggySeq, reverse, parenMatching).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

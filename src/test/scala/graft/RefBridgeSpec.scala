@@ -658,6 +658,88 @@ class RefBridgeSpec extends AnyFunSuite {
     agreement
   }
 
+  test("PAREN-MATCHING differential: reference trained with -useParenMatching matches our tags") {
+    // the refdiff fixture templates include -LRB- ... -RRB- spans, so the
+    // CpC and Cp2C PAREN-MATCH features fire; conllNoTags does not touch the
+    // flag, so plain "-conllNoTags true -useParenMatching true" is order-safe
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refparen"
+    Files.createDirectories(Paths.get(dir))
+    // adjacent and one-apart paren pairs so BOTH clique sites fire:
+    // CpC needs "( )" (close directly after open), Cp2C needs "( x )"
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    def parenDoc(i: Int): (Vector[String], Vector[String]) = {
+      val fn = firstNames(i % firstNames.size); val ln = lastNames(i % lastNames.size)
+      val loc = locations(i % locations.size); val org = orgBases(i % orgBases.size)
+      (i % 3) match {
+        case 0 => (Vector(fn, ln, "-LRB-", org, "-RRB-", "spoke", "in", loc, "."),
+          Vector("PERSON", "PERSON", "O", "ORGANIZATION", "O", "O", "O", "LOCATION", "O"))
+        case 1 => (Vector(org, "-LRB-", "-RRB-", "hired", fn, ln, "."),
+          Vector("ORGANIZATION", "O", "O", "O", "PERSON", "PERSON", "O"))
+        case _ => (Vector(fn, ln, "works", "at", org, "in", loc, "."),
+          Vector("PERSON", "PERSON", "O", "O", "ORGANIZATION", "O", "LOCATION", "O"))
+      }
+    }
+    def render(path: String, range: Range, meta: Option[String]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (i <- range) {
+        val (ws, ls) = parenDoc(i)
+        for (k <- ws.indices) sb.append(ws(k)).append('\t').append(ls(k)).append('\n')
+        sb.append('\n')
+        mb.append(i).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    render(s"$dir/train.tsv", 0 until 240, None)
+    render(s"$dir/test.tsv", 1000 until 1080, Some(s"$dir/meta.tsv"))
+    // blend in the diverse standard fixture: on the paren-only mini corpus
+    // the REFERENCE's own optimizer diverges to NaN (same failure mode as
+    // the macro-shape leg — too-separable features)
+    RefFixtures.main(Array(s"$dir/base"))
+    Files.writeString(Paths.get(s"$dir/train.tsv"),
+      Files.readString(Paths.get(s"$dir/base/train.tsv")) +
+        Files.readString(Paths.get(s"$dir/train.tsv")))
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refparen.ser.gz",
+      "-conllNoTags", "true", "-useParenMatching", "true") == 0, "paren training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refparen.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-useParenMatching", "true")
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refparen.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useParenMatching, "paren flag not carried out of the bundle")
+    assert(model.featureIndex.containsKey("PAREN-MATCH|CpC"), "CpC paren feature missing")
+    assert(model.featureIndex.containsKey("PAREN-MATCH|Cp2C"), "Cp2C paren feature missing")
+
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toInt, p(1).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((i, n), theirs) =>
+      val (words, _) = parenDoc(i)
+      val ours = model.tag(words)
+      for (k <- 0 until n) {
+        if (ours(k) == theirs(k)) agree += 1
+        else bad += s"doc $i tok $k '${words(k)}': ours=${ours(k)} ref=${theirs(k)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"paren-matching-model token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("GOODCONLL-SHAPE differential: tags + taggy sequences + NNP-gated occurrence patterns") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")
