@@ -121,23 +121,30 @@ object RefBinaryModel {
     // useReverse, useDistSim, useTags and useTaggySequences ARE all supported
     // (gazette maps / distsim lexicon reconstructed from the serialized
     // factory; occurrence scans honor reverse indexing)
-    val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags")
+    // A model trained WITHOUT one of our template families is fine: the
+    // features we emit for it hash-miss the model's dictionary and drop —
+    // exactly the reference's own unseen-feature rule (CRFClassifier.java:
+    // 200-207) — so the encodings stay identical. Validation is only needed
+    // the other way round: flags whose templates the MODEL contains but this
+    // engine cannot emit, and flags that change feature VALUES rather than
+    // presence.
+    val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
+      "useNPHead", "useNPGovernor", "useChunks", "useOrdinal", "useAbbr",
+      "useMinimalAbbr", "useExtraTaggySequences", "useMoreTags", "useEitherSideWord")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")
       case _ => ()
     }
-    val mustBeTrue = Seq("useNGrams", "noMidNGrams", "useDisjunctive", "usePrev", "useNext",
-      "useWordPairs", "useSequences", "usePrevSequences", "useTypeSeqs", "useTypeSeqs2",
-      "useTypeySequences", "useLastRealWord", "useNextRealWord", "useLongSequences",
-      "useBoundarySequences", "useObservedSequencesOnly")
-    for (f <- mustBeTrue; v <- flags.fields.get(f)) v match {
-      case b: Boolean => require(b, s"model was trained without -$f; template set mismatch")
-      case _ => ()
-    }
+    // value-changing flags: a mismatch silently alters feature strings
+    for (v <- flags.fields.get("noMidNGrams")) require(v == true,
+      "model was trained with mid-ngrams (noMidNGrams=false); this engine emits end-anchored ngrams only")
     for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
     for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
       s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
     for (v <- flags.fields.get("maxNGramLeng")) require(v == -1, s"maxNGramLeng $v != -1")
+    for (v <- flags.fields.get("disjunctionWidth"))
+      require(v == 4 || !flags.fields.get("useDisjunctive").contains(true),
+        s"disjunctionWidth $v != 4 — this engine emits width-4 disjunctive features")
   }
 }

@@ -747,6 +747,90 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("MACRO-PRESET differential: the macro feature set verbatim (SeqClassifierFlags.java:603-638)") {
+    // the exact macro assignments (no disjunctive, no boundary sequences,
+    // sigma 3 -> we use 5 to keep the reference's optimizer stable, which
+    // only affects ITS training, not template parity), with the column
+    // reader/map since our fixtures are column format. Features our factory
+    // emits that macro never trained (DISJN/DISJP, BNDRY) hash-miss the
+    // model dictionary and drop, exactly like the reference's unseen-feature
+    // rule — so template-set SUBSETS need no special handling.
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refmacro"
+    Files.createDirectories(Paths.get(dir))
+    val macroFlags = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,tag=1,answer=2",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useTaggySequences", "true", "-useNGrams", "true", "-usePrev", "true",
+      "-useNext", "true", "-useTags", "true", "-useWordPairs", "true",
+      "-useSequences", "true", "-usePrevSequences", "true", "-noMidNGrams", "true",
+      "-useReverse", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useOccurrencePatterns", "true", "-useLastRealWord", "true",
+      "-useNextRealWord", "true", "-sigma", "2.0", // its optimizer NaNs at 5 here
+      "-normalize", "true", "-normalizeTimex", "true", "-useQN", "true")
+    def render(path: String, range: Range, meta: Option[String]): Unit = {
+      val sb = new StringBuilder; val mb = new StringBuilder
+      for (i <- range) {
+        val (ws, ls, ts) = occTagDoc(i)
+        for (k <- ws.indices)
+          sb.append(ws(k)).append('\t').append(ts(k)).append('\t').append(ls(k)).append('\n')
+        sb.append('\n')
+        mb.append(i).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    render(s"$dir/train.tsv", 0 until 240, None)
+    render(s"$dir/test.tsv", 1000 until 1080, Some(s"$dir/meta.tsv"))
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", "/tmp/refbuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ macroFlags).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/refmacro.ser.gz") == 0,
+      "macro training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", "/tmp/refbuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/refmacro.ser.gz", "-testFile", s"$dir/test.tsv") ++ macroFlags
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/refmacro.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.useReverse && model.useTags && model.useOccurrencePatterns)
+    assert(!model.featureIndex.containsKey("Alice-DISJN|C"), "macro trains no disjunctive features")
+    def parseLastCol(path: java.nio.file.Path): Vector[Vector[String]] = {
+      val docs = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]
+      var nonEmpty = false
+      Files.readAllLines(path).asScala.foreach { line =>
+        if (line.trim.isEmpty) {
+          if (nonEmpty) { docs += cur.result(); cur = Vector.newBuilder[String]; nonEmpty = false }
+        } else { cur += line.split("\t").last; nonEmpty = true }
+      }
+      if (nonEmpty) docs += cur.result()
+      docs.result()
+    }
+    val refTags = parseLastCol(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toInt, p(1).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((i, n), theirs) =>
+      val (words, _, tags) = occTagDoc(i)
+      val ours = model.tag(words, tags)
+      for (k <- 0 until n) {
+        if (ours(k) == theirs(k)) agree += 1
+        else bad += s"doc $i tok $k '${words(k)}': ours=${ours(k)} ref=${theirs(k)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"macro-preset token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")
