@@ -3,7 +3,8 @@ package graft
 import graft.kg.KgPipeline
 import graft.ner.NerModels
 import graft.pipeline.Transcripts
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import scala.jdk.CollectionConverters._
 
 /** Benchmark driver. Emits ONE JSON line on stdout and writes the same JSON to
@@ -15,17 +16,27 @@ import scala.jdk.CollectionConverters._
   * 675k-turn synthetic input) runs at local[2], local[8] and local[32]
   * (N and 4N cores twice over); efficiency = (tput_4N / tput_N) / 4.
   *
-  * Robustness (round-1 lesson): the driver's round-1 run showed monotonic
-  * rep-over-rep degradation (5.8s → 28.7s @8 cores) that does NOT reproduce on
-  * an idle machine (see tools/BenchDiag: 6 consecutive full-size reps at
-  * local[32] hold 1.3s ± 0.1, heap flat, GC 0.06s/rep) — i.e. it was external
-  * machine load during the measurement, not a leak. Defenses:
-  *   - parallelism levels are INTERLEAVED round-robin (load spikes hit all
-  *     levels, not whichever level happened to run last);
-  *   - per-level best-of across rounds (a single idle window per level wins);
-  *   - every rep logs GC time, loadavg and cgroup CPU quota so a slow rep is
-  *     attributable, and the summary carries `suspect: true` when rep
-  *     variance exceeds 3x or ambient load was detected.
+  * Robustness (round-1/2 lessons): both prior driver runs were polluted by
+  * AMBIENT machine load (round 1: monotonic rep degradation that never
+  * reproduces idle; round 2: loadavg 3.5-12.6 throughout, rep variance 42x,
+  * efficiency 0.780 vs 0.833 idle). loadavg is the wrong gate — it is a
+  * 1-minute EMA that our own 32-core bursts saturate, so "wait for loadavg
+  * to drop" mostly waits for our own wake. This round the protocol measures
+  * ambient load DIRECTLY: busy-tick delta of the whole machine (/proc/stat)
+  * minus this JVM's own ticks (/proc/self/stat) over the same wall interval =
+  * cores consumed by OTHER processes, instantaneous and self-exclusive.
+  * Defenses, in order:
+  *   - ADMISSION: before each rep, sample ambient for 0.5s; if above the
+  *     threshold (default 2.0 cores), sleep and resample within a wall budget;
+  *   - MEASUREMENT: ambient is sampled across each rep's timed window; a rep
+  *     is `clean` iff ambient-during <= threshold;
+  *   - TOP-UP: after the interleaved rounds, levels short of 2 clean reps get
+  *     extra admission-gated reps until clean or the budget expires;
+  *   - SELECTION: per-level best-of over CLEAN reps when every level has one
+  *     (falling back to best-of-all + suspect=true otherwise);
+  *   - levels stay INTERLEAVED round-robin so residual spikes hit all levels;
+  *   - every rep logs GC time, ambient-during and loadavg so a slow rep is
+  *     attributable; training runs under the same admission + retry gate.
   */
 object Bench {
 
@@ -33,7 +44,9 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
 
-  /** 1-minute loadavg, or -1 if unreadable. */
+  /** 1-minute loadavg, or -1 if unreadable (kept for cross-round comparability
+    * of the rep logs; the admission gate uses `Ambient`, not this).
+    */
   private def loadAvg: Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble
@@ -50,6 +63,52 @@ object Bench {
       if (parts(0) == "max") -1.0 else parts(0).toDouble / parts(1).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** Ambient-load probe: cores consumed by processes OTHER than this JVM,
+    * measured as (machine busy ticks - self ticks) / elapsed. USER_HZ is 100
+    * on every Linux this can run on. Returns -1 values if /proc is absent.
+    */
+  object Ambient {
+    final case class Sample(busyTicks: Long, selfTicks: Long, nanos: Long)
+
+    def sample(): Sample = try {
+      val cpu = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+        .findFirst().orElse("cpu 0 0 0 0").split("\\s+")
+      // busy = user+nice+system+irq+softirq+steal (skip idle@4, iowait@5)
+      val busy = Seq(1, 2, 3, 6, 7, 8).map(i => if (i < cpu.length) cpu(i).toLong else 0L).sum
+      val self0 = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      // comm can contain spaces: parse after the closing paren; state is then
+      // field 3, so utime (field 14) and stime (15) sit at offsets 11 and 12
+      val f = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+      Sample(busy, f(11).toLong + f(12).toLong, System.nanoTime())
+    } catch { case _: Throwable => Sample(-1, -1, System.nanoTime()) }
+
+    /** Ambient cores between two samples (negative clock skew clamps to 0). */
+    def between(a: Sample, b: Sample): Double = {
+      if (a.busyTicks < 0 || b.busyTicks < 0) return -1.0
+      val sec = (b.nanos - a.nanos) / 1e9
+      if (sec <= 0) return -1.0
+      math.max(0.0, ((b.busyTicks - a.busyTicks) - (b.selfTicks - a.selfTicks)) / (100.0 * sec))
+    }
+
+    /** Ambient cores over a fresh `windowMs` observation window. */
+    def over(windowMs: Long): Double = {
+      val a = sample(); Thread.sleep(windowMs); between(a, sample())
+    }
+
+    /** Block until ambient <= threshold or the deadline passes; returns the
+      * last observation. Sleep-and-resample: our own process is excluded from
+      * the measurement, so this genuinely waits for the NEIGHBORS to go idle.
+      */
+    def admit(threshold: Double, deadlineNanos: Long): Double = {
+      var a = over(500)
+      while (a > threshold && a >= 0 && System.nanoTime() < deadlineNanos) {
+        Thread.sleep(3000)
+        a = over(500)
+      }
+      a
+    }
+  }
+
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -65,24 +124,36 @@ object Bench {
     s
   }
 
-  final case class Rep(cores: Int, round: Int, turns: Long, sec: Double, gcSec: Double, load: Double)
+  final case class Rep(cores: Int, round: Int, turns: Long, sec: Double, gcSec: Double,
+      load: Double, admitAmbient: Double, ambientDuring: Double, clean: Boolean)
 
-  /** Tag + extract triples over nConvs synthetic conversations. */
-  private def nerJob(spark: SparkSession, nConvs: Long, round: Int): Rep = {
+  /** Tag + extract triples over nConvs synthetic conversations. The triple
+    * count flows through an `observe()` Observation (SURVEY §2.6 last row:
+    * listener-API metrics on the tagging job, not a second count pass).
+    */
+  private def nerJob(spark: SparkSession, nConvs: Long, round: Int,
+      ambientMax: Double, deadlineNanos: Long): Rep = {
     val turns = Transcripts.synth(spark, nConvs).cache()
     val nTurns = turns.count() // materialize input outside the timed window
     val model = NerModels.default(spark)
+    val admitAmbient = Ambient.admit(ambientMax, deadlineNanos)
     val load = loadAvg
+    val obs = Observation(s"ner-$round-${System.nanoTime()}")
     val gc0 = gcMillis
+    val a0 = Ambient.sample()
     val t0 = System.nanoTime()
-    val nTriples = KgPipeline.triples(turns, model).toDF().count()
+    val nTriples = KgPipeline.triples(turns, model).toDF()
+      .observe(obs, count(lit(1)).as("n_triples")).count()
     val sec = (System.nanoTime() - t0) / 1e9
+    val ambientDuring = Ambient.between(a0, Ambient.sample())
     val gcSec = (gcMillis - gc0) / 1e3
+    val nTriplesObserved = obs.get.apply("n_triples").asInstanceOf[Long]
     val cores = spark.sparkContext.defaultParallelism
-    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f tput=${nTurns / sec}%.0f")
+    val clean = ambientDuring >= 0 && ambientDuring <= ambientMax
+    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples observed=$nTriplesObserved cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f ambient=$ambientDuring%.2f clean=$clean tput=${nTurns / sec}%.0f")
     turns.unpersist(blocking = true)
     System.gc() // keep reps independent of prior reps' garbage
-    Rep(cores, round, nTurns, sec, gcSec, load)
+    Rep(cores, round, nTurns, sec, gcSec, load, admitAmbient, ambientDuring, clean)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,11 +164,19 @@ object Bench {
     // rounds x 3 levels stay under ~3 min.
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "150000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    // Ambient threshold: >2 cores of neighbor activity visibly skews the
+    // 2-core level; the idle baseline on this box is ~0.1-0.3 cores.
+    val ambientMax = sys.env.getOrElse("SPARK_GRAFT_AMBIENT_MAX", "2.0").toDouble
+    // Wall budget for the scaling section (admission waits + top-up rounds
+    // included). Whole-run budget stays well under the driver's window.
+    val scalingBudgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "420").toLong
+    val minCleanPerLevel = 2
     // 2 -> 8 cores is the clean software-scaling pair (both below physical
     // core count = what N -> 4N executors measures on a real cluster);
     // 8 -> 32 saturates full machine width where SMT caps per-thread speed
     // (~0.75, measured with a pure-CPU burn probe — BASELINE.md).
     val levels = Seq(math.max(2, cpus / 16), math.max(4, cpus / 4), cpus)
+    val deadline = System.nanoTime() + scalingBudgetSec * 1000000000L
 
     // JIT warmup once (persists across SparkContexts within this JVM), then
     // interleaved rounds: each round opens a fresh session per level and runs
@@ -106,63 +185,125 @@ object Bench {
     for (round <- 0 until rounds; level <- levels) {
       val s = session(level)
       if (round == 0 && level == levels.head) { // full-size JIT warmup, discarded
-        nerJob(s, scaleConvs, round = -1)
+        nerJob(s, scaleConvs, round = -1, ambientMax, deadlineNanos = System.nanoTime())
         ()
       }
-      reps += nerJob(s, scaleConvs, round)
+      reps += nerJob(s, scaleConvs, round, ambientMax, deadline)
       s.stop()
     }
+    // Top-up: levels short of clean reps get extra admission-gated attempts,
+    // round-robin, while the budget lasts.
+    var topUpRound = rounds
+    var deficient = levels.filter(l => reps.count(r => r.cores == l && r.clean) < minCleanPerLevel)
+    while (deficient.nonEmpty && System.nanoTime() < deadline) {
+      for (level <- deficient if System.nanoTime() < deadline) {
+        val s = session(level)
+        reps += nerJob(s, scaleConvs, topUpRound, ambientMax, deadline)
+        s.stop()
+      }
+      topUpRound += 1
+      deficient = levels.filter(l => reps.count(r => r.cores == l && r.clean) < minCleanPerLevel)
+    }
+
     val byLevel = levels.map(l => l -> reps.filter(_.cores == l))
-    val bestSec = byLevel.map { case (l, rs) => l -> rs.map(_.sec).min }.toMap
-    val worstSec = byLevel.map { case (l, rs) => l -> rs.map(_.sec).max }.toMap
+    val cleanByLevel = levels.map(l => l -> reps.filter(r => r.cores == l && r.clean)).toMap
+    val allLevelsClean = levels.forall(l => cleanByLevel(l).nonEmpty)
+    // best-of over clean reps when every level has one; the clean subset is
+    // what an idle machine would have produced (ambient measured DURING the
+    // rep, excluding our own ticks)
+    val bestSec = byLevel.map { case (l, rs) =>
+      val pool = if (allLevelsClean) cleanByLevel(l) else rs
+      l -> pool.map(_.sec).min
+    }.toMap
+    val varPool = (l: Int) => if (allLevelsClean) cleanByLevel(l) else reps.filter(_.cores == l)
+    val varianceRatio = levels.map(l => varPool(l).map(_.sec).max / varPool(l).map(_.sec).min).max
     val turns = reps.head.turns
     val tput = levels.map(l => l -> turns / bestSec(l)).toMap
     val eff2to8 = (tput(levels(1)) / tput(levels(0))) / (levels(1).toDouble / levels(0))
     val eff8to32 = (tput(levels(2)) / tput(levels(1))) / (levels(2).toDouble / levels(1))
-    val varianceRatio = levels.map(l => worstSec(l) / bestSec(l)).max
-    val ambientLoad = reps.map(_.load).min // load BEFORE a rep incl. our own prior work; min across reps is the cleanest signal
-    val suspect = varianceRatio > 3.0 || cgroupCpus > 0 && cgroupCpus < cpus
+    val ambientLoad = reps.map(_.load).min
+    val cleanCounts = levels.map(l => cleanByLevel(l).size)
+    val fullyClean = cleanCounts.forall(_ >= minCleanPerLevel)
+    val suspect = !fullyClean || varianceRatio > 3.0 || (cgroupCpus > 0 && cgroupCpus < cpus)
     val repsJson = reps.map(r =>
-      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f}""")
+      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"clean":${r.clean}}""")
       .mkString("[", ",", "]")
 
     // ---- training-at-scale bench: distributed dictionary + Ehat + L-BFGS
     // (treeAggregate gradient) over ~85k gold docs, fixed iteration budget;
-    // held-out token accuracy guards against a silently-broken objective ----
+    // held-out token accuracy guards against a silently-broken objective.
+    // Same admission + clean-measurement protocol as the scaling reps (the
+    // round-2 train number was a single unguarded rep and landed 10x off on
+    // a loaded machine). ----
     val spark = session(cpus)
     val trainConvs = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CONVS", "20000").toLong
-    val (trainSec, trainDocs, trainFeat, heldoutAcc) = {
+    val trainAttemptsMax = sys.env.getOrElse("SPARK_GRAFT_TRAIN_ATTEMPTS", "3").toInt
+    val trainBudgetSec = sys.env.getOrElse("SPARK_GRAFT_TRAIN_BUDGET_SEC", "240").toLong
+    val trainDeadline = System.nanoTime() + trainBudgetSec * 1000000000L
+    var trainSec = Double.MaxValue
+    var trainAmbient = -1.0
+    var trainClean = false
+    var trainDocs = 0L
+    var trainFeat = 0
+    var heldoutAcc = 0.0
+    var attempt = 0
+    while (attempt < trainAttemptsMax && !trainClean &&
+        (attempt == 0 || System.nanoTime() < trainDeadline)) {
       import spark.implicits._
       val docs = graft.pipeline.Transcripts.synthGold(spark, trainConvs, seed = 7L)
         .map(g => graft.train.LabeledDoc(g.words, g.labels))
       val nDocs = docs.count()
+      Ambient.admit(ambientMax, trainDeadline)
+      val a0 = Ambient.sample()
       val t0 = System.nanoTime()
       val m = graft.train.Trainer.train(spark, docs, graft.train.Trainer.Config(maxIterations = 40))
       val sec = (System.nanoTime() - t0) / 1e9
-      var ok = 0L; var tot = 0L
-      for (conv <- 0L until 2000L; t <- 0 until Transcripts.numTurns(8L, conv)
-           if !Transcripts.isToolTurn(8L, conv, t)) {
-        val (words, labels) = Transcripts.turnTokens(8L, conv, t)
-        val got = m.tag(words)
-        for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; tot += 1 }
+      val amb = Ambient.between(a0, Ambient.sample())
+      if (sec < trainSec) { trainSec = sec; trainAmbient = amb }
+      trainClean = amb >= 0 && amb <= ambientMax
+      trainDocs = nDocs
+      trainFeat = m.numFeatures
+      if (attempt == 0) { // held-out check once; it is model-deterministic
+        var ok = 0L; var tot = 0L
+        for (conv <- 0L until 2000L; t <- 0 until Transcripts.numTurns(8L, conv)
+             if !Transcripts.isToolTurn(8L, conv, t)) {
+          val (words, labels) = Transcripts.turnTokens(8L, conv, t)
+          val got = m.tag(words)
+          for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; tot += 1 }
+        }
+        heldoutAcc = ok.toDouble / tot
       }
-      System.err.println(f"[bench] train convs=$trainConvs docs=$nDocs sec=$sec%.1f features=${m.numFeatures} heldoutAcc=${ok.toDouble / tot}%.5f")
-      (sec, nDocs, m.numFeatures, ok.toDouble / tot)
+      System.err.println(f"[bench] train attempt=$attempt convs=$trainConvs docs=$nDocs sec=$sec%.1f ambient=$amb%.2f clean=$trainClean features=${m.numFeatures} heldoutAcc=$heldoutAcc%.5f")
+      attempt += 1
     }
 
-    // ---- headline queries at full parallelism ----
+    // ---- headline queries at full parallelism; a query whose window saw
+    // ambient load above the threshold is retried once and keeps its best ----
     val headline = Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders_per_customer",
       "q04_running_supplier_revenue", "q08_sessionize_events", "q11_tokens",
       "q12_token_stats", "q16_dedup_exact", "q18_jaccard_pairs", "q20_dedup_minhash",
       "q21_dedup_simhash", "q22_knn_brute", "q23_knn_lsh", "q24_embed_pairs",
       "q25_windowed_events", "q31_mentions", "q32_triples")
+    val queryDeadline = System.nanoTime() + 120L * 1000000000L
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): (Double, Double) = {
+        val a0 = Ambient.sample()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        (sec, Ambient.between(a0, Ambient.sample()))
+      }
+      val (s1, amb1) = once()
+      val sec =
+        if (s1 >= 0 && amb1 > ambientMax && System.nanoTime() < queryDeadline) {
+          Ambient.admit(ambientMax, queryDeadline)
+          val (s2, _) = once()
+          if (s2 >= 0) math.min(s1, s2) else s1
+        } else s1
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -172,9 +313,11 @@ object Bench {
       f""""scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,""" +
       f""""train_convs":$trainConvs,"train_docs":$trainDocs,"train_sec":$trainSec%.1f,""" +
       f""""train_features":$trainFeat,"train_heldout_acc":$heldoutAcc%.5f,""" +
+      f""""train_ambient":$trainAmbient%.2f,"train_clean":$trainClean,""" +
       f""""suspect":$suspect,"rep_variance_ratio":$varianceRatio%.2f,"ambient_load_min":$ambientLoad%.2f,""" +
+      f""""ambient_max_cores":$ambientMax%.1f,"clean_reps":[${cleanCounts.mkString(",")}],""" +
       f""""cgroup_cpus":$cgroupCpus%.1f,"jvm_cpus":${Runtime.getRuntime.availableProcessors},"reps":$repsJson,""" +
-      """"scaling_note":"levels interleaved round-robin, best-of per level; 2->8 cores is the clean software-scaling pair (both below physical core count); 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""
+      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat) and marked clean iff ambient stayed under the threshold DURING the rep; best-of over clean reps; 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()

@@ -206,8 +206,12 @@ object SparkEntry {
     }),
     "q35_graph_edges" -> ((s, d) => {
       val model = NerModels.default(s)
-      val tps = KgPipeline.triples(turns(s, d), model)
-      val linked = EntityLink.link(Tagger.mentions(turns(s, d), model))
+      // ONE tagging pass feeds both triples and mentions (pinned per-turn
+      // rows, KgPipeline.triplesAndMentions); the linking result is pinned
+      // too, so surfaceMap's size guard and both joins replay blocks instead
+      // of re-running tag -> link (round-2 review finding: 4x recompute)
+      val (tps, ments) = KgPipeline.triplesAndMentions(turns(s, d), model)
+      val linked = EntityLink.link(ments).localCheckpoint()
       // size-guarded broadcast of the vocabulary-sized surface map
       val surfMap = graft.kg.GraphMaterializer.surfaceMap(linked)
         .drop("canonical_surface")

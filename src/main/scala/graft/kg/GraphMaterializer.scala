@@ -68,11 +68,16 @@ object GraphMaterializer {
       // the map exceeds executor memory).
       maxBroadcastSurfaces: Long = 5000000L)
 
-  /** Surface->entity map with a size-guarded broadcast hint (see Config). */
-  def surfaceMap(linked: DataFrame, maxBroadcastSurfaces: Long = 5000000L): DataFrame = {
+  /** Surface->entity map with a size-guarded broadcast hint (see Config).
+    * Callers that already know the surface count pass it via `knownCount` so
+    * the guard is free; otherwise `linked` should be pinned (localCheckpoint)
+    * before calling, or the count re-runs its whole lineage.
+    */
+  def surfaceMap(linked: DataFrame, maxBroadcastSurfaces: Long = 5000000L,
+      knownCount: Option[Long] = None): DataFrame = {
     import linked.sparkSession.implicits._
     val sel = linked.select($"etype", $"surface", $"entity_id", $"canonical_surface")
-    if (linked.count() <= maxBroadcastSurfaces) broadcast(sel) else sel
+    if (knownCount.getOrElse(linked.count()) <= maxBroadcastSurfaces) broadcast(sel) else sel
   }
 
   /** A partition is complete when its directory holds at least one parquet

@@ -36,6 +36,38 @@ object KgPipeline {
     }
   }
 
+  /** Triples AND mention spans from ONE tagging pass (round-2 review finding:
+    * q35 tagged the corpus once for triples and again for mentions; tagging
+    * dominates the stage, so consumers needing both must share the pass).
+    * The per-turn (triples, mentions) rows are pinned via localCheckpoint so
+    * the two returned views replay pinned blocks instead of re-tagging —
+    * TaggerGroupingSpec asserts exactly one scan of the input.
+    */
+  def triplesAndMentions(turns: Dataset[Turn], model: Broadcast[NerModel])
+      : (Dataset[Triple], Dataset[Mention]) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val both: Dataset[(Seq[Triple], Seq[Mention])] = turns.mapPartitions { it =>
+      val m = model.value
+      val bg = m.classIndex(m.backgroundIndex)
+      it.map { turn =>
+        if (turn.text == null || turn.text.isEmpty) (Seq.empty[Triple], Seq.empty[Mention])
+        else {
+          val sentences = SentenceSplitter.split(Tokenizer.tokenize(turn.text))
+          val perSent = sentences.zipWithIndex.map { case (sent, sentIdx) =>
+            val words = sent.map(_.word)
+            val answers = m.tag(words).toIndexedSeq
+            val mentions = Tagger.spansOfSentence(
+              turn.conv_id, turn.turn_idx, sentIdx, sent, answers, turn.text, bg)
+            (TripleRules.fromSentence(mentions, sent.map(t => (t.word, t.begin))), mentions)
+          }
+          (perSent.flatMap(_._1), perSent.flatMap(_._2))
+        }
+      }
+    }.localCheckpoint()
+    (both.flatMap(_._1), both.flatMap(_._2))
+  }
+
   /** Gold triples from pre-tokenized gold turns (for eval / the differential
     * harness): runs the SAME span fold + rules over gold labels.
     */

@@ -89,12 +89,16 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
+    // localCheckpoint, not cache(): 3 consumers (banding + both verify-join
+    // sides) replay pinned blocks, and nothing stays registered in the
+    // cacheManager after the query (round-2 review finding; blocks are freed
+    // by the ContextCleaner when the result is dropped)
     val withSh = docs.select(col("doc_id"), lower(col("text")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => (id, Hashing.wordShingles(t, n).toArray) }
       .toDF("doc_id", "shingles")
       .where(size(col("shingles")) > 0)
-      .cache()
+      .localCheckpoint()
     val banded = withSh.as[(Long, Array[Long])].flatMap { case (id, sh) =>
       val sig = Hashing.minHash(sh, numHashes)
       Hashing.bandKeys(sig, bands, rows).iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
@@ -126,11 +130,12 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint for the same cacheManager-hygiene reason as minHashPairs
     val sigs = docs.select(col("doc_id"), lower(col("text")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => (id, Hashing.simHash(Hashing.wordShingles(t, 2))) }
       .toDF("doc_id", "sim")
-      .cache()
+      .localCheckpoint()
     val chunked = sigs.as[(Long, Long)].flatMap { case (id, s) =>
       (0 until 4).iterator.map(c => (id, s, c, (s >>> (c * 16)) & 0xffffL))
     }.toDF("doc_id", "sim", "chunk", "key")

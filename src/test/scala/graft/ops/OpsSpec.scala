@@ -98,6 +98,19 @@ class DedupSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(0) < r.getLong(1)))
     assert(res.forall(r => r.getAs[Number]("hamming").intValue <= 10))
   }
+
+  test("dedup entry points leave no cached relations behind (no cacheManager leak)") {
+    // round-2 review finding: minHashPairs/simHashPairs used .cache() with no
+    // unpersist; the localCheckpoint replacements register NOTHING
+    spark.catalog.clearCache()
+    val fresh = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.minHashPairs(fresh, n = 3, tau = 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "minHashPairs leaked a cached relation")
+    Dedup.simHashPairs(fresh, maxHamming = 8).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "simHashPairs leaked a cached relation")
+    Dedup.ngramJaccardPairs(fresh, n = 3, tau = 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "ngramJaccardPairs leaked a cached relation")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
