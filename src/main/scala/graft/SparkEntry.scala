@@ -244,6 +244,34 @@ object SparkEntry {
         .select(graft.functions.GraftFunctions.graft_shape(col("tok")).as("shape"))
         .groupBy(col("shape")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("shape"))
+    }),
+
+    // ===== ObjectBank record-iterator sources (reference objectbank/
+    // DelimitRegExIterator.java, XMLBeginEndIterator.java): a deterministic
+    // corpus file is synthesized from the documents table, then read back
+    // through the REAL file-based reader path (wholetext scan + record fold),
+    // so the oracle (documents in doc_id order) certifies the whole
+    // write -> scan -> record-split round trip =====
+    "q39_delimited_records" -> ((s, d) => {
+      import s.implicits._
+      val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_delim_")
+      java.nio.file.Files.writeString(dir.resolve("corpus.txt"),
+        texts.mkString("-DOCSTART-\n", "\n-DOCSTART-\n", "\n"))
+      graft.sources.RecordIterators.readDelimited(s, dir.toString, "\\n?-DOCSTART-\\n")
+        .select(col("record_idx"), col("record"))
+    }),
+    "q40_xml_records" -> ((s, d) => {
+      import s.implicits._
+      val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_xml_")
+      // noise elements + free text between records must be skipped
+      java.nio.file.Files.writeString(dir.resolve("corpus.xml"),
+        texts.map(t => s"<doc>$t</doc>\n<meta>skip me</meta>\nloose text\n").mkString)
+      graft.sources.RecordIterators.readXmlElements(s, dir.toString, "doc")
+        .select(col("record_idx"), col("record"))
     })
   )
 
@@ -549,6 +577,31 @@ object SparkEntry {
     "q25_windowed_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // dan2 word shape reproduced in SQL: per-char class map (d/x/X/self),
+    // run-collapse via list_reduce, the reference's leading-'~' quirk
+    // (WordShapeClassifier.java:236 inits lastM='~', so a leading '~' run is
+    // silently dropped), and the :len suffix for short words.
+    "q38_shape_histogram" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '$TokSql')) tok FROM documents),
+         |shapes AS (SELECT 'WT-' ||
+         |    regexp_replace(list_reduce(
+         |      list_transform(string_split(tok, ''), c ->
+         |        CASE WHEN c BETWEEN '0' AND '9' THEN 'd'
+         |             WHEN (c BETWEEN 'a' AND 'z') OR c = '_' THEN 'x'
+         |             WHEN c BETWEEN 'A' AND 'Z' THEN 'X'
+         |             ELSE c END),
+         |      (a, c) -> CASE WHEN right(a, 1) = c THEN a ELSE a || c END), '^~', '') ||
+         |    CASE WHEN length(tok) <= 3 THEN ':' || length(tok) ELSE '' END AS shape
+         |  FROM toks)
+         |SELECT shape, CAST(count(*) AS BIGINT) AS n FROM shapes GROUP BY 1 ORDER BY n DESC, shape""".stripMargin,
+    // record iterators: the synthesized corpus is documents in doc_id order,
+    // so a correct file round trip reproduces the table exactly
+    "q39_delimited_records" ->
+      """SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS record_idx,
+        | text AS record FROM documents""".stripMargin,
+    "q40_xml_records" ->
+      """SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS record_idx,
+        | text AS record FROM documents""".stripMargin
   )
 }

@@ -152,6 +152,49 @@ object GraftShingles {
   }
 }
 
+/** Multi-table random-hyperplane LSH signatures for a float-array embedding:
+  * element t = the `bitsPerTable`-bit sign signature under table t's
+  * deterministic hyperplanes (seed 0xb175 + 7919*t — identical constants to
+  * Similarity.rhpWeight, which the q23 DuckDB oracle embeds). Replaces the
+  * per-row Scala UDF that generated q23's keys: same output, but stays inside
+  * WholeStageCodegen like the rest of the engine's scalar layer.
+  */
+case class GraftRhpSignatures(child: Expression, nTables: Int, bitsPerTable: Int)
+    extends UnaryExpression {
+  require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 64)
+  private def ok(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(child.dataType)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_rhp_signatures requires ARRAY<FLOAT>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftRhpSignatures.compute(v.asInstanceOf[ArrayData], nTables, bitsPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftRhpSignatures.compute($c, $nTables, $bitsPerTable)")
+  override protected def withNewChildInternal(newChild: Expression): GraftRhpSignatures =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rhp_signatures"
+}
+
+object GraftRhpSignatures {
+  def compute(emb: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
+    val a = emb.toFloatArray()
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      out(t) = java.lang.Long.valueOf(
+        graft.ops.Similarity.rhpSignature(a, bitsPerTable, seed = 0xb175L + 7919L * t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Column-API wrappers (require register(spark) once per session). */
   def graft_shape(c: Column): Column =
@@ -162,6 +205,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
   def graft_shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(s"graft_shingles_$n", c)
+  def graft_rhp_signatures(c: Column, nTables: Int, bitsPerTable: Int): Column =
+    org.apache.spark.sql.functions.call_function(s"graft_rhp_${nTables}_$bitsPerTable", c)
 
   /** Register for SQL: SELECT graft_shape(word), graft_fnv64(text) ... */
   def register(spark: SparkSession): Unit = {
@@ -174,5 +219,9 @@ object GraftFunctions {
     for (n <- 1 to 8) // one registered name per shingle width (n is static)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"graft_shingles_$n", exprs => GraftShingles(exprs.head, n), "built-in")
+    // one registered name per (tables, bits) pair actually used (static params)
+    for ((t, b) <- Seq((16, 6), (8, 8)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_rhp_${t}_$b", exprs => GraftRhpSignatures(exprs.head, t, b), "built-in")
   }
 }

@@ -224,16 +224,24 @@ final class NerModel(
     * per-position likelihood for same-word label consistency across the doc.
     */
   def tagGibbs(words: IndexedSeq[String], consistencyPenalty: Double = 0.0,
-      sweeps: Int = 100, seed: Long = 0x91bb5L): Array[String] = {
+      sweeps: Int = 100, seed: Long = 0x91bb5L, useNerPrior: Boolean = false): Array[String] = {
     if (words.isEmpty) return Array.empty
     val in = if (useReverse) words.reverse else words
     val pots = Crf.logPotentials(encodeFast(in), params)
     val crf = new graft.core.Gibbs.CrfScorer(pots, params)
+    // -useNERPrior: the reference's empirical entity-pair penalty matrices
+    // (EmpiricalNERPrior.java), factored next to the CRF exactly like the
+    // consistency prior
+    val priors = Seq.newBuilder[graft.core.Gibbs.SequenceScorer]
+    if (consistencyPenalty > 0)
+      priors += new graft.core.Gibbs.ConsistencyPrior(
+        in.map(WordShape.fixWord), classIndex.length, consistencyPenalty)
+    if (useNerPrior)
+      priors += new graft.core.NerPriors.EmpiricalNerPrior(
+        in, classIndex.toIndexedSeq, classIndex(backgroundIndex))
+    val ps = priors.result()
     val scorer: graft.core.Gibbs.SequenceScorer =
-      if (consistencyPenalty <= 0) crf
-      else new graft.core.Gibbs.FactoredScorer(Seq(crf,
-        new graft.core.Gibbs.ConsistencyPrior(
-          in.map(WordShape.fixWord), classIndex.length, consistencyPenalty)))
+      if (ps.isEmpty) crf else new graft.core.Gibbs.FactoredScorer(crf +: ps)
     val init = Crf.viterbi(pots, params)
     val out = graft.core.Gibbs.findBestUsingAnnealing(
       scorer, graft.core.Gibbs.linearCooling(1.0, sweeps), init, seed).map(classIndex)

@@ -83,12 +83,11 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val keysUdf = udf((e: Seq[Float]) => {
-      val a = e.toArray
-      (0 until nTables).map(t => rhpSignature(a, bitsPerTable, seed = 0xb175L + 7919L * t))
-    })
+    // native codegen'd signature expression (was a per-row Scala UDF —
+    // round-2 review finding: it broke the engine's codegen standard)
     val chunked = embeddings.select(col("vec_id"), col("embedding"),
-        posexplode(keysUdf(col("embedding")))) // (pos=table, col=key)
+        posexplode(graft.functions.GraftFunctions
+          .graft_rhp_signatures(col("embedding"), nTables, bitsPerTable))) // (pos=table, col=key)
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     val q = chunked.where(col("vec_id") % queryMod === 0)
       .select(col("chunk"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))

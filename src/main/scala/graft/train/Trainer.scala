@@ -76,6 +76,15 @@ object Trainer {
       useTaggySequences: Boolean = false,
       // useParenMatching: matched open/close paren features (CpC + Cp2C)
       useParenMatching: Boolean = false,
+      // Ceiling on the knownLCWords vocabulary (model state used for the
+      // dan2 'k' shape suffix). The reference grows it unboundedly
+      // (CRFClassifier.java:1560 / ObjectBankWrapper.java:46-68) — fine at
+      // CoNLL scale, but the distinct lowercase vocabulary of a 100 TB web
+      // corpus is 10^8-10^9 strings and this set lives on the driver and in
+      // every broadcast model. Past the cap the MOST FREQUENT words win
+      // (deterministic tie-break: lexicographic) — a documented deviation,
+      // default off = reference-faithful unbounded.
+      maxKnownLCWords: Int = Int.MaxValue,
       // optimizer: "qn" (default; flags.useQN) or "sgd" — the SGD-family
       // analogue (SGDMinimizer etc., selected by CRFClassifier.getMinimizer,
       // :1114-1146). The reference's per-example sequential updates don't
@@ -86,6 +95,25 @@ object Trainer {
       sgdEpochs: Int = 60,
       sgdBatchFraction: Double = 0.25,
       sgdGain: Double = 0.5)
+
+  /** Corpus-derived known-lowercase vocabulary (ObjectBankWrapper.java:46-68;
+    * timex-fixed words, see the pass-1 comment in train()). `limit` applies a
+    * deterministic document-frequency ceiling — see Config.maxKnownLCWords.
+    */
+  private[graft] def knownLCWords(spark: SparkSession, docs: Dataset[LabeledDoc],
+      normTerms: Boolean, limit: Int): Set[String] = {
+    import spark.implicits._
+    val lc = docs.flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
+    if (limit == Int.MaxValue) lc.distinct().collect().toSet
+    else {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      lc.toDF("w").groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(limit)
+        .select(col("w")).as[String].collect().toSet
+    }
+  }
 
   def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
@@ -107,10 +135,7 @@ object Trainer {
     val useRev = cfg.useReverse
     val useParen = cfg.useParenMatching
     val bcastDs = sc.broadcast(cfg.distSim)
-    val knownLC: Set[String] = docs
-      .flatMap(_.words.iterator.map(w => fixWord(w, normTerms))
-        .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))))
-      .distinct().collect().toSet
+    val knownLC: Set[String] = knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords)
 
     // Class index: background first (index 0), then remaining labels sorted.
     val labels = docs.flatMap(_.labels).distinct().collect().sorted

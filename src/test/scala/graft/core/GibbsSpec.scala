@@ -87,6 +87,58 @@ class GibbsSpec extends AnyFunSuite {
     assert(recovered >= (total * 0.9).toInt, s"$recovered/$total")
   }
 
+  test("EmpiricalNerPrior reproduces the reference scoreOf on hand-traced sequences") {
+    // Golden values hand-traced through EmpiricalNERPrior.java:74-283 +
+    // EntityCachingAbstractSequencePrior.java:96-176 (matrices are data, so
+    // enumeration parity is achievable even though the sampler RNG isn't).
+    val ci = IndexedSeq("O", "LOCATION", "ORGANIZATION", "PERSON", "MISC")
+    val O = 0; val L = 1; val G = 2; val P = 3
+    def prior(words: String*) = new NerPriors.EmpiricalNerPrior(words.toIndexedSeq, ci, "O")
+
+    // exact repeat, conflicting types: both directions pay the exact matrix
+    // (LOC-vs-ORG p3 one way, ORG-vs-LOC p6 the other; lengths equal -> no p1)
+    val pr1 = prior("paris", "said", "Paris")
+    val exp1 = -(-math.log(188 / 6631.0) / 2.0) - (-math.log(188.0 / 3169.0) / 2.0)
+    assert(math.abs(pr1.scoreOf(Array(L, O, G)) - exp1) < 1e-12)
+    // same types: diagonal is zero
+    assert(pr1.scoreOf(Array(L, O, L)) == 0.0)
+    // background everywhere: no entities, no penalty
+    assert(pr1.scoreOf(Array(O, O, O)) == 0.0)
+
+    // NON-exact overlap (the longer entity's occurrence hits the shorter one,
+    // but not vice versa): LOC-vs-ORG inexact cell is commented out in the
+    // reference (p19) -> zero; LOC-vs-PERSON pays p20 per word of the source
+    val pr2 = prior("New", "York", "meets", "New", "York", "City")
+    assert(pr2.scoreOf(Array(L, L, O, G, G, G)) == 0.0)
+    assert(math.abs(pr2.scoreOf(Array(L, L, O, P, P, P)) - (-2.0 * -math.log(5.0 / 724.0))) < 1e-12)
+
+    // exact repeat with length mismatch, same type: |len1-len2| * p1 per
+    // direction (p1 = -ln 0.01)
+    val pr3 = prior("Acme", "Corp", "said", "Acme", "Corp", "today")
+    val exp3 = -2.0 * -math.log(0.01)
+    assert(math.abs(pr3.scoreOf(Array(G, G, O, G, O, O)) - exp3) < 1e-12)
+
+    // the reference's duplicated-clause bug (:134-135): ORG-then-LOC is
+    // exempt from the (len1+len2)*p1 cross-type mismatch term, LOC-then-ORG
+    // is not — the score is asymmetric on purpose
+    val pr4 = prior("Delta", "City", "said", "Delta", "City", "x")
+    val exp4 = -(2.0 * -math.log(188.0 / 3169.0) / 2.0) - // A: ORG sees LOC, exact matrix p6 * len 2, p1 exempt
+      (3.0 * -math.log(0.01)) -                           // B: LOC sees ORG, (2+1)*p1 NOT exempt
+      (-math.log(188 / 6631.0) / 2.0)                     // B: exact matrix p3 * len 1
+    assert(math.abs(pr4.scoreOf(Array(G, G, O, L, O, O)) - exp4) < 1e-12)
+
+    // logScoresAt is the exact label-restriction of scoreOf (the abstract
+    // class's scoresOf contract), so Gibbs conditionals stay exact
+    val seq = Array(L, O, G)
+    for (pos <- 0 until 3) {
+      val raw = pr1.logScoresAt(seq, pos)
+      for (lbl <- ci.indices) {
+        val s2 = seq.clone(); s2(pos) = lbl
+        assert(raw(lbl) == pr1.scoreOf(s2), s"pos=$pos lbl=$lbl")
+      }
+    }
+  }
+
   test("consistency prior flips inconsistent labels the plain CRF keeps (NerModel.tagGibbs)") {
     // Build a doc where the same surface appears twice; the default model
     // tags both consistently already, so fabricate inconsistency pressure by

@@ -15,7 +15,12 @@ class GraphSpec extends AnyFunSuite {
     val triples = KgPipeline.triples(turns, model)
     val linked = EntityLink.link(Tagger.mentions(turns, model))
     val out = Files.createTempDirectory("kgout").toString
-    val (nodes, edges) = GraphMaterializer.materialize(triples, linked, out, fingerprint = "seed42-n60")
+    // drive through the GraphSink TRAIT: the bucket-layout/lineage contract
+    // below is what any sink implementation (parquet stand-in, Iceberg when a
+    // runtime jar exists) must satisfy
+    val sink: GraphMaterializer.GraphSink = GraphMaterializer.ParquetBucketSink
+    val (nodes, edges) = GraphMaterializer.materialize(triples, linked, out,
+      fingerprint = "seed42-n60", sink = sink)
     assert(nodes.count() > 0 && edges.count() > 0)
     assert(Files.exists(Paths.get(out, "_lineage", "nodes.json")))
     assert(Files.exists(Paths.get(out, "_lineage", "edges.json")))

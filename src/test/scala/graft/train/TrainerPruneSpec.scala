@@ -89,4 +89,22 @@ class TrainerPruneSpec extends AnyFunSuite {
     info(f"held-out acc after prune-retrain = ${ok.toDouble / total}%.4f over $total tokens")
     assert(ok.toDouble / total >= 0.95)
   }
+
+  test("maxKnownLCWords caps the driver-side vocabulary at the most frequent words") {
+    // knownLCWords is model state the reference grows unboundedly; at web
+    // scale it is the first driver OOM, so Config.maxKnownLCWords applies a
+    // deterministic frequency ceiling (count desc, word asc on ties).
+    import spark.implicits._
+    val docs = Seq(
+      LabeledDoc(Seq("alpha", "alpha", "beta", "Gamma", "delta"), Seq("O", "O", "O", "O", "O")),
+      LabeledDoc(Seq("alpha", "beta", "ceta"), Seq("O", "O", "O"))).toDS()
+    // unbounded (default): every lowercase-initial word, uppercase excluded
+    val all = Trainer.knownLCWords(spark, docs, normTerms = false, Int.MaxValue)
+    assert(all == Set("alpha", "beta", "ceta", "delta"))
+    // capped: alpha(3) and beta(2) dominate
+    assert(Trainer.knownLCWords(spark, docs, normTerms = false, 2) == Set("alpha", "beta"))
+    // tie at count 1 between ceta and delta -> lexicographic: ceta wins
+    assert(Trainer.knownLCWords(spark, docs, normTerms = false, 3) ==
+      Set("alpha", "beta", "ceta"))
+  }
 }
