@@ -191,6 +191,17 @@ final class NerModel(
     if (useReverse) out.reverse else out
   }
 
+  /** Tag an over-long document after the reference's maxDocSize split
+    * (default 10000; ObjectBankWrapper.fixDocLengths applies it at test time).
+    * Pieces decode independently and their labels concatenate — feature
+    * windows reset at the (sentence-boundary-preferring) cut, exactly like
+    * the reference's split-into-multiple-documents behavior.
+    */
+  def tagLongDoc(words: IndexedSeq[String], maxDocSize: Int = 10000): Array[String] = {
+    if (maxDocSize <= 0 || words.length <= maxDocSize) return tag(words)
+    NerModel.fixDocLengths(words, maxDocSize).iterator.flatMap(tag(_)).toArray
+  }
+
   def numFeatures: Int = featureIndex.size
 
   /** Calibrated marginal/conditional query surface for one document — the
@@ -289,6 +300,35 @@ final class NerModel(
 }
 
 object NerModel {
+
+  /** The reference's maxDocSize split (ObjectBankWrapper.fixDocLengths,
+    * /root/reference/src/edu/stanford/nlp/sequences/ObjectBankWrapper.java:
+    * 167-202): while the document exceeds `maxSize`, cut BEFORE index
+    * `maxSize`, preferring the position just after the latest '.' token found
+    * scanning j = maxSize down to maxSize/2 + 1 (the hard-coded
+    * English-specific sentence boundary); with no '.' in that window, cut at
+    * exactly `maxSize`. The final remainder is kept if non-empty. Piece order
+    * is document order (the reference builds them in order and re-inserts
+    * reversed-then-unreversed — net identity).
+    */
+  def fixDocLengths(words: IndexedSeq[String], maxSize: Int): Seq[IndexedSeq[String]] = {
+    if (maxSize <= 0) return Seq(words)
+    val out = Seq.newBuilder[IndexedSeq[String]]
+    var doc = words
+    while (doc.length > maxSize) {
+      var splitIndex = 0
+      var j = maxSize
+      while (splitIndex == 0 && j > maxSize / 2) {
+        if (doc(j) == ".") splitIndex = j + 1
+        j -= 1
+      }
+      if (splitIndex == 0) splitIndex = maxSize
+      out += doc.take(splitIndex)
+      doc = doc.drop(splitIndex)
+    }
+    if (doc.nonEmpty) out += doc
+    out.result()
+  }
 
   /** Gzip text serialization (our v1 format; the reference-text-format bridge
     * loader mirrors CRFClassifier.loadTextClassifier and lands in a later

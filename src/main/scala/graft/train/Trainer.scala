@@ -85,6 +85,18 @@ object Trainer {
       // (deterministic tie-break: lexicographic) — a documented deviation,
       // default off = reference-faithful unbounded.
       maxKnownLCWords: Int = Int.MaxValue,
+      // Processed-data artifact (the reference's save/load of featurized
+      // corpora, CRFClassifier.java:972-985,1254-1292): when set, the first
+      // train() run persists the encoded corpus + dictionary metadata here
+      // after featurization, and any later run (same or NEW session) whose
+      // artifact exists skips every corpus pass — knownLCWords, class index,
+      // dictionary build, observed-window scan AND per-doc featurization —
+      // and goes straight to the minimizer over the stored parquet. Flags
+      // that shape features are validated against the artifact on load.
+      // Prune-retrain needs the raw corpus, so the loaded path requires
+      // numTimesPruneFeatures == 0 (the reference's cached path has the same
+      // restriction: pruning re-featurizes).
+      processedDataDir: Option[String] = None,
       // optimizer: "qn" (default; flags.useQN) or "sgd" — the SGD-family
       // analogue (SGDMinimizer etc., selected by CRFClassifier.getMinimizer,
       // :1114-1146). The reference's per-example sequential updates don't
@@ -115,9 +127,78 @@ object Trainer {
     }
   }
 
+  /** Dictionary-level content of a processed-data artifact (everything the
+    * minimizer needs besides the encoded parquet).
+    */
+  private[graft] final case class ProcessedMeta(
+      flags: String, knownLC: Set[String], classIndex: Array[String],
+      features: Array[(Int, String)], observed: Option[Array[(Int, Int)]])
+
+  /** The feature-shaping fingerprint stored in (and validated against) a
+    * processed-data artifact.
+    */
+  private def featureFlags(cfg: Config): String =
+    Seq(cfg.background, cfg.normalizeTerms, cfg.useOccurrencePatterns,
+      cfg.useTags, cfg.useTaggySequences, cfg.useReverse, cfg.useParenMatching,
+      cfg.observedSequencesOnly, cfg.removeBackgroundSingletonFeatures,
+      cfg.distSim.isDefined, !cfg.gazette.isEmpty, cfg.maxKnownLCWords).mkString("|")
+
+  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
+
+  private[graft] def saveProcessedMeta(dir: String, m: ProcessedMeta): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(metaPath(dir))))
+    try {
+      out.println("graft-processed-v1")
+      out.println(m.flags)
+      out.println(m.classIndex.length); m.classIndex.foreach(out.println)
+      out.println(m.knownLC.size); m.knownLC.toSeq.sorted.foreach(out.println)
+      out.println(m.features.length)
+      m.features.foreach { case (g, f) => out.println(s"$g\t$f") }
+      m.observed match {
+        case None => out.println(-1)
+        case Some(obs) =>
+          out.println(obs.length); obs.foreach { case (g, e) => out.println(s"$g\t$e") }
+      }
+    } finally out.close()
+  }
+
+  private[graft] def loadProcessedMeta(dir: String): ProcessedMeta = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(metaPath(dir)))))
+    try {
+      require(in.readLine() == "graft-processed-v1", s"unknown artifact version in $dir")
+      val flags = in.readLine()
+      val ci = Array.fill(in.readLine().toInt)(in.readLine())
+      val lc = Iterator.fill(in.readLine().toInt)(in.readLine()).toSet
+      val feats = Array.fill(in.readLine().toInt) {
+        val line = in.readLine(); val t = line.indexOf('\t')
+        (line.substring(0, t).toInt, line.substring(t + 1))
+      }
+      val nObs = in.readLine().toInt
+      val obs = if (nObs < 0) None else Some(Array.fill(nObs) {
+        val line = in.readLine(); val t = line.indexOf('\t')
+        (line.substring(0, t).toInt, line.substring(t + 1).toInt)
+      })
+      ProcessedMeta(flags, lc, ci, feats, obs)
+    } finally in.close()
+  }
+
   def train(spark: SparkSession, docs0: Dataset[LabeledDoc], cfg: Config = Config()): NerModel = {
     import spark.implicits._
     val sc = spark.sparkContext
+    // processed-data artifact present? -> skip every corpus pass below
+    val loadedMeta: Option[ProcessedMeta] = cfg.processedDataDir
+      .filter(d => java.nio.file.Files.exists(metaPath(d)))
+      .map { d =>
+        require(cfg.numTimesPruneFeatures == 0,
+          "prune-retrain re-featurizes: it needs the raw corpus, not a processed artifact")
+        val m = loadProcessedMeta(d)
+        require(m.flags == featureFlags(cfg),
+          s"processed artifact $d was built with flags ${m.flags}, current ${featureFlags(cfg)}")
+        m
+      }
     // useReverse: physically reverse every doc before anything else, like the
     // reference's Collections.reverse(doc) at read time
     val docs = if (!cfg.useReverse) docs0
@@ -135,11 +216,14 @@ object Trainer {
     val useRev = cfg.useReverse
     val useParen = cfg.useParenMatching
     val bcastDs = sc.broadcast(cfg.distSim)
-    val knownLC: Set[String] = knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords)
+    val knownLC: Set[String] = loadedMeta.map(_.knownLC)
+      .getOrElse(knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords))
 
     // Class index: background first (index 0), then remaining labels sorted.
-    val labels = docs.flatMap(_.labels).distinct().collect().sorted
-    val classIndex = (cfg.background +: labels.filterNot(_ == cfg.background)).toArray
+    val classIndex = loadedMeta.map(_.classIndex).getOrElse {
+      val labels = docs.flatMap(_.labels).distinct().collect().sorted
+      (cfg.background +: labels.filterNot(_ == cfg.background)).toArray
+    }
     val classOf = classIndex.zipWithIndex.toMap
     val bcastKnownLC = sc.broadcast(knownLC)
     val bcastGaz = sc.broadcast(cfg.gazette)
@@ -152,7 +236,8 @@ object Trainer {
     // as background only when positions j AND j-1 are both background).
     val bg = cfg.background
     val sorted: Array[(Int, String)] =
-      if (!cfg.removeBackgroundSingletonFeatures) {
+      if (loadedMeta.isDefined) loadedMeta.get.features
+      else if (!cfg.removeBackgroundSingletonFeatures) {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
@@ -197,12 +282,13 @@ object Trainer {
     val w = NerFeatures.WindowSize
     // observed-window layout pieces depend only on labels: compute once,
     // rebuild the layout per prune iteration as featGroup shrinks
-    val windowCols: Option[(Array[Array[Int]], Array[Int])] =
+    // observed (group, window-encoding) pairs: from the artifact, or scanned
+    val observedPairs: Option[Array[(Int, Int)]] =
       if (!cfg.observedSequencesOnly) None
-      else {
+      else loadedMeta.map(_.observed.get).orElse(Some {
         // observed label windows per clique group (CRFClassifier.java:482-489)
         val classOfB = sc.broadcast(classOf)
-        val observed: Array[(Int, Int)] = docs.flatMap { d =>
+        docs.flatMap { d =>
           val ids = d.labels.map(classOfB.value).toArray
           (0 until ids.length).iterator.flatMap { pos =>
             (0 until w).iterator.map { g =>
@@ -213,14 +299,16 @@ object Trainer {
             }
           }
         }.distinct().collect()
-        val weightCol = Array.tabulate(w) { g =>
-          val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
-          observed.filter(_._1 == g).map(_._2).sorted.zipWithIndex
-            .foreach { case (enc, k) => cols(enc) = k }
-          cols
-        }
-        Some((weightCol, weightCol.map(_.count(_ >= 0))))
+      })
+    val windowCols: Option[(Array[Array[Int]], Array[Int])] = observedPairs.map { observed =>
+      val weightCol = Array.tabulate(w) { g =>
+        val cols = Array.fill(graft.core.Crf.pow(numClasses, g + 1))(-1)
+        observed.filter(_._1 == g).map(_._2).sorted.zipWithIndex
+          .foreach { case (enc, k) => cols(enc) = k }
+        cols
       }
+      (weightCol, weightCol.map(_.count(_ >= 0)))
+    }
     def mkLayout(fg: Array[Int]): WeightLayout = windowCols match {
       case None => WeightLayout.fullProduct(numClasses, w, 0, fg)
       case Some((weightCol, numCols)) => new WeightLayout(numClasses, w, 0, fg, weightCol, numCols)
@@ -245,17 +333,35 @@ object Trainer {
       val bcastDict = sc.broadcast(featureIndex)
 
       // encode the corpus once per round and cache it (reference:
-      // documentsToDataAndLabels, CRFClassifier.java:313-348)
-      val encoded = docs
-        .repartition(parts)
-        .map { d =>
-          val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
-          val dict = bcastDict.value
-          val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
-          (enc, d.labels.map(classOf).toArray)
-        }
-        .cache()
+      // documentsToDataAndLabels, CRFClassifier.java:313-348) — or, with a
+      // processed artifact, read the already-featurized parquet instead
+      val encoded = loadedMeta match {
+        case Some(_) =>
+          spark.read.parquet(s"${cfg.processedDataDir.get}/encoded.parquet")
+            .as[(Seq[Seq[Seq[Int]]], Seq[Int])]
+            .map { case (e, l) => (e.map(_.map(_.toArray).toArray).toArray, l.toArray) }
+            .cache()
+        case None => docs
+          .repartition(parts)
+          .map { d =>
+            val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
+            val dict = bcastDict.value
+            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
+            (enc, d.labels.map(classOf).toArray)
+          }
+          .cache()
+      }
       encoded.count() // materialize
+
+      // first featurization with processedDataDir set -> persist the artifact
+      if (iter == 0 && loadedMeta.isEmpty) for (dir <- cfg.processedDataDir) {
+        encoded.map { case (e, l) =>
+          (e.map(_.map(_.toSeq).toSeq).toSeq, l.toSeq)
+        }.write.mode("overwrite").parquet(s"$dir/encoded.parquet")
+        saveProcessedMeta(dir, ProcessedMeta(featureFlags(cfg), knownLC, classIndex,
+          sorted, observedPairs))
+        System.err.println(s"[trainer] processed-data artifact written to $dir (${sorted.length} features)")
+      }
 
       val bLayout = sc.broadcast(layout)
       val n = layout.totalSize

@@ -90,6 +90,28 @@ class TrainerPruneSpec extends AnyFunSuite {
     assert(ok.toDouble / total >= 0.95)
   }
 
+  test("processed-data artifact: retrain from it in a fresh pass, no corpus needed") {
+    // the reference's save/load of featurized corpora (CRFClassifier.java:
+    // 972-985,1254-1292): featurize once, train again later (any session)
+    // straight from the artifact
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_processed_").toString
+    val cfg = Trainer.Config(maxIterations = 60, processedDataDir = Some(dir))
+    val m1 = Trainer.train(spark, goldDocs(60), cfg)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "meta.gz")))
+    // retrain with an EMPTY corpus: only the artifact can be feeding this
+    val m2 = Trainer.train(spark, spark.emptyDataset[LabeledDoc], cfg)
+    assert(m2.numFeatures == m1.numFeatures)
+    for (conv <- 0L until 20L) {
+      val (words, _) = Transcripts.turnTokens(8L, conv, 0)
+      assert(m2.tag(words).toSeq == m1.tag(words).toSeq, s"conv $conv")
+    }
+    // an artifact built under different feature flags must be rejected
+    intercept[IllegalArgumentException] {
+      Trainer.train(spark, spark.emptyDataset[LabeledDoc], cfg.copy(useParenMatching = true))
+    }
+  }
+
   test("maxKnownLCWords caps the driver-side vocabulary at the most frequent words") {
     // knownLCWords is model state the reference grows unboundedly; at web
     // scale it is the first driver OOM, so Config.maxKnownLCWords applies a
