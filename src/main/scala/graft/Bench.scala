@@ -285,6 +285,14 @@ object Bench {
       "q12_token_stats", "q16_dedup_exact", "q18_jaccard_pairs", "q20_dedup_minhash",
       "q21_dedup_simhash", "q22_knn_brute", "q23_knn_lsh", "q24_embed_pairs",
       "q25_windowed_events", "q31_mentions", "q32_triples")
+    // steady-state warmup: run every headline query once at the smallest sf
+    // so the timed numbers measure operator cost at the target sf, not
+    // first-call codegen/JIT of each operator's plan
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val queryDeadline = System.nanoTime() + 120L * 1000000000L
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -103,7 +103,7 @@ object Trainer {
       // distribute, so this is MINIBATCH SGD: per step, the gradient of a
       // deterministic sample scaled to the corpus, plus the prior; decaying
       // gain. Same objective, different optimizer — not a parity surface.
-      optimizer: String = "qn",
+      optimizer: String = "qn", // "qn" | "sgd" | "scaledsgd" (diag-BFGS per-coordinate gains) | "sgdtoqn" (sgdEpochs stochastic passes, then L-BFGS from that point)
       sgdEpochs: Int = 60,
       sgdBatchFraction: Double = 0.25,
       sgdGain: Double = 0.5)
@@ -401,16 +401,13 @@ object Trainer {
         }
       }
 
-      val xStar =
-        if (cfg.optimizer == "qn") lbfgs.minimize(diff, DenseVector.zeros[Double](n))
-        else {
-          // minibatch SGD (SGD-family analogue): deterministic per-epoch
-          // samples, corpus-scaled gradient + prior, 1/(1+epoch/10) gain decay
-          require(cfg.optimizer == "sgd", s"unknown optimizer ${cfg.optimizer}")
+      // minibatch SGD (SGD-family analogue): deterministic per-epoch
+      // samples, corpus-scaled gradient + prior, 1/(1+epoch/10) gain decay
+      def runSgd(epochs: Int): Array[Double] = {
           val x = new Array[Double](n)
           val total = encoded.count().toDouble
           var epoch = 0
-          while (epoch < cfg.sgdEpochs) {
+          while (epoch < epochs) {
             val bw = sc.broadcast(x)
             val layoutRef = bLayout
             val batch = encoded.rdd.sample(withReplacement = false,
@@ -439,8 +436,75 @@ object Trainer {
             }
             epoch += 1
           }
-          DenseVector(x)
+          x
         }
+      // ScaledSGDMinimizer analogue (optimization/ScaledSGDMinimizer.java:
+      // 167-244, method=1): per-coordinate steps scaled by a diagonal
+      // quasi-Newton approximation. Each step takes TWO gradient evaluations
+      // on the SAME deterministic batch (at x and at newX), forms the secant
+      // pair (s, y) including the prior term, and applies the reference's
+      // updateDiagBFGS rule verbatim: newDiag_i = (1 - D_i s_i^2 / sDs) D_i
+      // + y_i^2 / sy, accepted only when every entry stays positive.
+      def runScaledSgd(epochs: Int): Array[Double] = {
+        val x = new Array[Double](n)
+        val total = encoded.count().toDouble
+        val diag = Array.fill(n)(1.0) // reference init: fixedGain/gain
+        def gradAt(at: Array[Double], epoch: Int): Array[Double] = {
+          val bw = sc.broadcast(at)
+          val layoutRef = bLayout
+          // same seed twice per epoch -> the SAME batch both evaluations
+          val batch = encoded.rdd.sample(withReplacement = false,
+            cfg.sgdBatchFraction, seed = 0x5ca1edL + epoch)
+          val (gSum, nSeen) = batch.mapPartitions { it =>
+            val lay = layoutRef.value
+            val p = lay.params(bw.value)
+            val g = new Array[Double](lay.totalSize)
+            var cnt = 0L
+            it.foreach { case (doc, lab) =>
+              CrfObjective.docValueGrad(doc, lab, p, lay, g); cnt += 1
+            }
+            Iterator.single((g, cnt))
+          }.treeReduce({ (a, b) =>
+            var i = 0
+            while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+            (a._1, a._2 + b._2)
+          }, depth = 2)
+          bw.destroy()
+          val scale = if (nSeen == 0) 0.0 else total / nSeen
+          Array.tabulate(n)(i => scale * gSum(i) + at(i) / sigmaSq)
+        }
+        var epoch = 0
+        while (epoch < epochs) {
+          val g1 = gradAt(x, epoch)
+          val decay = math.sqrt(50.0 / (50.0 + epoch)) // gainSchedule analogue
+          val gain = cfg.sgdGain * decay / total
+          val newX = Array.tabulate(n)(i => x(i) - gain / diag(i) * g1(i))
+          val g2 = gradAt(newX, epoch)
+          val s = Array.tabulate(n)(i => newX(i) - x(i))
+          val y = Array.tabulate(n)(i => g2(i) - g1(i))
+          var sDs = 0.0; var sy = 0.0
+          var i = 0
+          while (i < n) { sDs += s(i) * diag(i) * s(i); sy += s(i) * y(i); i += 1 }
+          if (sDs > 0 && sy > 0) {
+            val newDiag = Array.tabulate(n)(i => (1 - diag(i) * s(i) * s(i) / sDs) * diag(i) + y(i) * y(i) / sy)
+            if (newDiag.forall(_ >= 0)) System.arraycopy(newDiag, 0, diag, 0, n)
+          }
+          System.arraycopy(newX, 0, x, 0, n)
+          epoch += 1
+        }
+        x
+      }
+      val xStar = cfg.optimizer match {
+        case "qn" => lbfgs.minimize(diff, DenseVector.zeros[Double](n))
+        case "sgd" => DenseVector(runSgd(cfg.sgdEpochs))
+        case "scaledsgd" => DenseVector(runScaledSgd(cfg.sgdEpochs))
+        // SGDToQNMinimizer (optimization/SGDToQNMinimizer.java, selected by
+        // CRFClassifier.getMinimizer under flags.useSGDtoQN): cheap stochastic
+        // passes reach the basin, then quasi-Newton polishes from there —
+        // same L-BFGS, non-zero start
+        case "sgdtoqn" => lbfgs.minimize(diff, DenseVector(runSgd(cfg.sgdEpochs)))
+        case other => throw new IllegalArgumentException(s"unknown optimizer $other")
+      }
       encoded.unpersist(blocking = true)
       weights = layout.toRagged(xStar.data)
 

@@ -58,6 +58,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q23 lsh: no Scala UDF in the plan (native graft_rhp_signatures)") {
+    // round-2 finding: the signature keys came from a per-row Scala UDF,
+    // breaking the engine's codegen standard. The native expression must
+    // appear instead.
+    val p = plan("q23_knn_lsh")
+    assert(!p.contains("UDF"), p.take(3000))
+    assert(p.toLowerCase.contains("graft_rhp"), p.take(3000))
+  }
+
   test("q15 dict tag: gazette join is broadcast") {
     val p = plan("q15_dict_tag")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -71,6 +71,41 @@ class TrainerPruneSpec extends AnyFunSuite {
     assert((0 until m.numFeatures).forall(f => java.util.Arrays.equals(m.weights(f), m2.weights(f))))
   }
 
+  test("SGDToQN optimizer: stochastic warmup + quasi-Newton polish reaches QN-level accuracy") {
+    // SGDToQNMinimizer semantics: SGD passes reach the basin, then L-BFGS
+    // finishes from the SGD point with a small iteration budget
+    val m = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(optimizer = "sgdtoqn", sgdEpochs = 20, maxIterations = 25))
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = m.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    val acc = ok.toDouble / total
+    info(f"SGDToQN held-out token accuracy = $acc%.4f over $total tokens (20 sgd + 25 qn iters)")
+    assert(acc >= 0.97, s"acc $acc")
+    intercept[IllegalArgumentException] {
+      Trainer.train(spark, goldDocs(5), Trainer.Config(optimizer = "bogus"))
+    }
+  }
+
+  test("ScaledSGD optimizer: diag-BFGS per-coordinate gains converge to a usable model") {
+    val m = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(optimizer = "scaledsgd", sgdEpochs = 60))
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = m.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    val acc = ok.toDouble / total
+    info(f"ScaledSGD held-out token accuracy = $acc%.4f over $total tokens")
+    assert(acc >= 0.93, s"acc $acc")
+  }
+
   test("prune-retrain loop drops low-range features and keeps accuracy") {
     val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
     val pruned = Trainer.train(spark, goldDocs(150),
