@@ -140,15 +140,29 @@ object Similarity {
       .map { case (id, e) => (Hashing.splitmix64(id), e) }
       .orderBy(col("_1")).limit(nCentroids)
       .collect().map(_._2.map(_.toDouble))
-    // Lloyd iterations: distributed assign, driver-side tiny centroid update
+    // Lloyd iterations: distributed assign, driver-side tiny centroid update.
+    // Per-cluster sums fold in ASCENDING vec_id order (flatMapSortedGroups),
+    // not reduceByKey's partition-dependent tree order: float summation is
+    // non-associative, so the sorted fold is what makes the whole operator
+    // bit-identical at any parallelism (the README invariant) — and lets the
+    // q26 DuckDB oracle reproduce all five iterations exactly.
     for (_ <- 1 to kmeansIters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = vecs.map { case (_, e) => (nearest(e, bc.value), (e.map(_.toDouble), 1L)) }
-        .rdd.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
-          var i = 0
-          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-          (a._1, a._2 + b._2)
-        }.collect().toMap
+      val sums: Map[Int, (Array[Double], Long)] = vecs
+        .map { case (id, e) => (nearest(e, bc.value), id, e) }
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("_2").asc) { (ci, it) =>
+          var n = 0L
+          var s: Array[Double] = null
+          it.foreach { case (_, _, e) =>
+            if (s == null) s = new Array[Double](e.length)
+            var i = 0
+            while (i < e.length) { s(i) += e(i).toDouble; i += 1 }
+            n += 1
+          }
+          Iterator.single((ci, s.toSeq, n))
+        }
+        .collect().map { case (ci, s, n) => ci -> (s.toArray, n) }.toMap
       centroids = centroids.indices.map { ci =>
         sums.get(ci) match {
           case Some((s, n)) => s.map(_ / n)
