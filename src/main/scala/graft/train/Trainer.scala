@@ -351,7 +351,7 @@ object Trainer {
           }
           .cache()
       }
-      encoded.count() // materialize
+      val nEncoded = encoded.count() // materialize (== corpus size, incl. the loaded-artifact path)
 
       // first featurization with processedDataDir set -> persist the artifact
       if (iter == 0 && loadedMeta.isEmpty) for (dir <- cfg.processedDataDir) {
@@ -405,7 +405,7 @@ object Trainer {
       // samples, corpus-scaled gradient + prior, 1/(1+epoch/10) gain decay
       def runSgd(epochs: Int): Array[Double] = {
           val x = new Array[Double](n)
-          val total = encoded.count().toDouble
+          val total = nEncoded.toDouble
           var epoch = 0
           while (epoch < epochs) {
             val bw = sc.broadcast(x)
@@ -438,6 +438,33 @@ object Trainer {
           }
           x
         }
+      // per-example-mean gradient (incl. prior) of one deterministic batch:
+      // the same seed per epoch gives the SAME batch across repeated
+      // evaluations, which is what the secant pair (ScaledSGD) and the
+      // finite-difference Hessian-vector product (SMD) both require
+      def batchGradAt(at: Array[Double], epoch: Int): Array[Double] = {
+        val bw = sc.broadcast(at)
+        val layoutRef = bLayout
+        val batch = encoded.rdd.sample(withReplacement = false,
+          cfg.sgdBatchFraction, seed = 0x5ca1edL + epoch)
+        val (gSum, nSeen) = batch.mapPartitions { it =>
+          val lay = layoutRef.value
+          val p = lay.params(bw.value)
+          val g = new Array[Double](lay.totalSize)
+          var cnt = 0L
+          it.foreach { case (doc, lab) =>
+            CrfObjective.docValueGrad(doc, lab, p, lay, g); cnt += 1
+          }
+          Iterator.single((g, cnt))
+        }.treeReduce({ (a, b) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }, depth = 2)
+        bw.destroy()
+        val scale = if (nSeen == 0) 0.0 else 1.0 / nSeen // per-example mean
+        Array.tabulate(n)(i => scale * gSum(i) + at(i) / (sigmaSq * nEncoded.toDouble))
+      }
       // ScaledSGDMinimizer analogue (optimization/ScaledSGDMinimizer.java:
       // 167-244, method=1): per-coordinate steps scaled by a diagonal
       // quasi-Newton approximation. Each step takes TWO gradient evaluations
@@ -447,31 +474,11 @@ object Trainer {
       // + y_i^2 / sy, accepted only when every entry stays positive.
       def runScaledSgd(epochs: Int): Array[Double] = {
         val x = new Array[Double](n)
-        val total = encoded.count().toDouble
+        val total = nEncoded.toDouble
         val diag = Array.fill(n)(1.0) // reference init: fixedGain/gain
         def gradAt(at: Array[Double], epoch: Int): Array[Double] = {
-          val bw = sc.broadcast(at)
-          val layoutRef = bLayout
-          // same seed twice per epoch -> the SAME batch both evaluations
-          val batch = encoded.rdd.sample(withReplacement = false,
-            cfg.sgdBatchFraction, seed = 0x5ca1edL + epoch)
-          val (gSum, nSeen) = batch.mapPartitions { it =>
-            val lay = layoutRef.value
-            val p = lay.params(bw.value)
-            val g = new Array[Double](lay.totalSize)
-            var cnt = 0L
-            it.foreach { case (doc, lab) =>
-              CrfObjective.docValueGrad(doc, lab, p, lay, g); cnt += 1
-            }
-            Iterator.single((g, cnt))
-          }.treeReduce({ (a, b) =>
-            var i = 0
-            while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-            (a._1, a._2 + b._2)
-          }, depth = 2)
-          bw.destroy()
-          val scale = if (nSeen == 0) 0.0 else total / nSeen
-          Array.tabulate(n)(i => scale * gSum(i) + at(i) / sigmaSq)
+          val g = batchGradAt(at, epoch)
+          Array.tabulate(n)(i => g(i) * total) // full-corpus scale, as before
         }
         var epoch = 0
         while (epoch < epochs) {
@@ -494,10 +501,48 @@ object Trainer {
         }
         x
       }
+      // SMDMinimizer analogue (optimization/SMDMinimizer.java:136-160 with
+      // the defaults mu=0.01, lam=1.0, cPosDef=0, gains init = gain): the
+      // stochastic meta-descent update. H·v comes from the reference's own
+      // default method — EXTERNAL FINITE DIFFERENCE of gradients on the same
+      // batch with step h=1e-4 (AbstractStochasticCachingDiffFunction.java:
+      // 57-64,439-480): H·v ~ (grad(x + h·v) - grad(x)) / h. Per coordinate:
+      //   meta   = 1 - mu * grad_i * v_i ;  gains_i *= max(0.5, meta)
+      //   v_i    = lam * v_i - gains_i * (grad_i + lam * Hv_i)
+      //   newX_i = x_i - gains_i * grad_i
+      def runSmd(epochs: Int): Array[Double] = {
+        val mu = 0.01; val lam = 1.0; val h = 1e-4
+        val x = new Array[Double](n)
+        val gains = Array.fill(n)(cfg.sgdGain)
+        val v = new Array[Double](n)
+        var epoch = 0
+        while (epoch < epochs) {
+          val grad = batchGradAt(x, epoch)
+          val vNorm = math.sqrt(v.map(d => d * d).sum)
+          val hv =
+            if (vNorm == 0.0) new Array[Double](n) // first step: v = 0 -> H.v = 0
+            else {
+              val xp = Array.tabulate(n)(i => x(i) + h * v(i))
+              val gp = batchGradAt(xp, epoch)
+              Array.tabulate(n)(i => (gp(i) - grad(i)) / h)
+            }
+          var i = 0
+          while (i < n) {
+            val meta = 1.0 - mu * grad(i) * v(i)
+            gains(i) *= math.max(0.5, meta)
+            v(i) = lam * v(i) - gains(i) * (grad(i) + lam * hv(i))
+            x(i) -= gains(i) * grad(i)
+            i += 1
+          }
+          epoch += 1
+        }
+        x
+      }
       val xStar = cfg.optimizer match {
         case "qn" => lbfgs.minimize(diff, DenseVector.zeros[Double](n))
         case "sgd" => DenseVector(runSgd(cfg.sgdEpochs))
         case "scaledsgd" => DenseVector(runScaledSgd(cfg.sgdEpochs))
+        case "smd" => DenseVector(runSmd(cfg.sgdEpochs))
         // SGDToQNMinimizer (optimization/SGDToQNMinimizer.java, selected by
         // CRFClassifier.getMinimizer under flags.useSGDtoQN): cheap stochastic
         // passes reach the basin, then quasi-Newton polishes from there —

@@ -106,6 +106,21 @@ class TrainerPruneSpec extends AnyFunSuite {
     assert(acc >= 0.93, s"acc $acc")
   }
 
+  test("SMD optimizer: meta-descent with finite-difference H.v converges") {
+    val m = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(optimizer = "smd", sgdEpochs = 60, sgdGain = 0.3))
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = m.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    val acc = ok.toDouble / total
+    info(f"SMD held-out token accuracy = $acc%.4f over $total tokens")
+    assert(acc >= 0.93, s"acc $acc")
+  }
+
   test("prune-retrain loop drops low-range features and keeps accuracy") {
     val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
     val pruned = Trainer.train(spark, goldDocs(150),
