@@ -160,9 +160,39 @@ object NerFeatures {
   @inline private[ner] def isOpen(w: String): Boolean = w == "(" || w == "[" || w == "-LRB-"
   @inline private[ner] def isClose(w: String): Boolean = w == ")" || w == "]" || w == "-RRB-"
 
+  /** useNGrams options (NERFeatureFactory.java:1173-1197): substring features
+    * of "<word>" with optional transforms and bounds. Defaults = the
+    * conllNoTags preset (noMidNGrams true, no length cap, no transforms);
+    * `noMid = false` emits ALL substrings (the reference's flag default),
+    * `maxLen >= 0` caps substring length, `lowercase`/`dehyphenate` transform
+    * the padded word first (:1178-1183).
+    */
+  final case class NgramOpts(maxLen: Int = -1, noMid: Boolean = true,
+      lowercase: Boolean = false, dehyphenate: Boolean = false)
+  object NgramOpts { val default: NgramOpts = NgramOpts() }
+
+  /** The reference's dehyphenate (NERFeatureFactory.java:540-555), quirks
+    * included: only INTERNAL hyphens are removed (index >= 2 and
+    * < originalLength - 2 — the bound uses the ORIGINAL length even as the
+    * string shrinks), scanning resumes at the removal index.
+    */
+  def dehyphenate(str: String): String = {
+    val leng = str.length
+    var ret = str
+    var hyphen = 2
+    var go = true
+    while (go) {
+      hyphen = ret.indexOf('-', hyphen)
+      if (hyphen >= 0 && hyphen < leng - 2) ret = ret.substring(0, hyphen) + ret.substring(hyphen + 1)
+      else go = false
+    }
+    ret
+  }
+
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
       useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
-      reverse: Boolean, parenMatching: Boolean): Array[Array[String]] = {
+      reverse: Boolean, parenMatching: Boolean,
+      ngram: NgramOpts = NgramOpts.default): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -171,15 +201,22 @@ object NerFeatures {
 
     // ---- group 0: C ----
     val g0 = new java.util.LinkedHashSet[String]()
-    // useNGrams + noMidNGrams: all substrings of <word> touching an end, len >= 2
-    // (NERFeatureFactory.java:1173-1209; maxNGramLeng unset = -1)
-    val w = "<" + cWord + ">"
+    // useNGrams: substrings of <word>, len >= 2, bounded/filtered/transformed
+    // per NgramOpts (NERFeatureFactory.java:1173-1209; preset default =
+    // noMidNGrams true, maxNGramLeng unset = -1)
+    val w = {
+      var s = "<" + cWord + ">"
+      if (ngram.lowercase) s = s.toLowerCase
+      if (ngram.dehyphenate) s = dehyphenate(s)
+      s
+    }
     val L = w.length
     var i = 0
     while (i < L) {
       var j = i + 2
       while (j <= L) {
-        if (i == 0 || j == L) g0.add("#" + w.substring(i, j) + "#|C")
+        if ((!ngram.noMid || i == 0 || j == L) && (ngram.maxLen < 0 || j - i <= ngram.maxLen))
+          g0.add("#" + w.substring(i, j) + "#|C")
         j += 1
       }
       i += 1

@@ -141,7 +141,8 @@ object NerFeaturesFast {
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
       gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
       useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
-      parenMatching: Boolean): Array[Array[Int]] = {
+      parenMatching: Boolean,
+      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -161,26 +162,51 @@ object NerFeaturesFast {
     }
 
     // ---- group 0 ----
-    // ngrams over <word>: prefix/suffix substrings, len >= 2
-    val wLen = cWord.length + 2
-    var i0 = 0
-    while (i0 < wLen) {
-      var j = i0 + 2
-      while (j <= wLen) {
-        if (i0 == 0 || j == wLen) {
-          var x = hc(FnvOffset, '#')
-          var k = i0
-          while (k < j) {
-            val ch = if (k == 0) '<' else if (k == wLen - 1) '>' else cWord.charAt(k - 1)
-            x = hc(x, ch)
-            k += 1
+    // ngrams over <word>: default preset shape stays zero-alloc (virtual
+    // < > padding); non-default NgramOpts take the generic branch over the
+    // transformed padded word (one small string per token, options only)
+    if (ngram == NerFeatures.NgramOpts.default) {
+      val wLen = cWord.length + 2
+      var i0 = 0
+      while (i0 < wLen) {
+        var j = i0 + 2
+        while (j <= wLen) {
+          if (i0 == 0 || j == wLen) {
+            var x = hc(FnvOffset, '#')
+            var k = i0
+            while (k < j) {
+              val ch = if (k == 0) '<' else if (k == wLen - 1) '>' else cWord.charAt(k - 1)
+              x = hc(x, ch)
+              k += 1
+            }
+            x = hc(x, '#')
+            emit(h(x, suffixC))
           }
-          x = hc(x, '#')
-          emit(h(x, suffixC))
+          j += 1
         }
-        j += 1
+        i0 += 1
       }
-      i0 += 1
+    } else {
+      var w0 = "<" + cWord + ">"
+      if (ngram.lowercase) w0 = w0.toLowerCase
+      if (ngram.dehyphenate) w0 = NerFeatures.dehyphenate(w0)
+      val wLen = w0.length
+      var i0 = 0
+      while (i0 < wLen) {
+        var j = i0 + 2
+        while (j <= wLen) {
+          if ((!ngram.noMid || i0 == 0 || j == wLen) &&
+              (ngram.maxLen < 0 || j - i0 <= ngram.maxLen)) {
+            var x = hc(FnvOffset, '#')
+            var k = i0
+            while (k < j) { x = hc(x, w0.charAt(k)); k += 1 }
+            x = hc(x, '#')
+            emit(h(x, suffixC))
+          }
+          j += 1
+        }
+        i0 += 1
+      }
     }
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))

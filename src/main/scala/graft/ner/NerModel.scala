@@ -51,7 +51,10 @@ final class NerModel(
     val useTaggySequences: Boolean = false,
     // useParenMatching (NERFeatureFactory.java:1591-1605,1669-1683): matched
     // open/close paren features on the CpC and Cp2C cliques
-    val useParenMatching: Boolean = false
+    val useParenMatching: Boolean = false,
+    // useNGrams options: maxNGramLeng / noMidNGrams / lowercaseNGrams /
+    // dehyphenateNGrams (NERFeatureFactory.java:1173-1197)
+    val ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -117,7 +120,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts)
       pos += 1
     }
     out
@@ -143,7 +146,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -176,7 +179,7 @@ final class NerModel(
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
       NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching))
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts))
     val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
     if (useReverse) out.reverse else out
   }
@@ -369,6 +372,10 @@ object NerModel {
       if (m.useTags) w.write("opt\tuseTags\ttrue\n")
       if (m.useParenMatching) w.write("opt\tuseParenMatching\ttrue\n")
       if (m.useTaggySequences) w.write("opt\tuseTaggySequences\ttrue\n")
+      if (m.ngramOpts != NerFeatures.NgramOpts.default) {
+        val ng = m.ngramOpts
+        w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\n")
+      }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
         ds.lexicon.toSeq.sorted.foreach { case (k, v) => w.write(s"$k\t$v\n") }
@@ -420,6 +427,7 @@ object NerModel {
       var tagsFlag = false
       var taggySeq = false
       var paren = false
+      var ngram = NerFeatures.NgramOpts.default
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
@@ -429,6 +437,10 @@ object NerModel {
         else if (line == "opt\tuseTags\ttrue") tagsFlag = true
         else if (line == "opt\tuseTaggySequences\ttrue") taggySeq = true
         else if (line == "opt\tuseParenMatching\ttrue") paren = true
+        else if (line.startsWith("ngram\t")) {
+          val p = line.split("\t")
+          ngram = NerFeatures.NgramOpts(p(1).toInt, p(2).toBoolean, p(3).toBoolean, p(4).toBoolean)
+        }
         else if (line.startsWith("distsim\t")) {
           val n = line.split("\t")(1).toInt
           distSim = Some(new DistSim((0 until n).map { _ =>
@@ -441,7 +453,7 @@ object NerModel {
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren)
+        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren, ngram)
     } finally r.close()
   }
 }

@@ -78,9 +78,16 @@ object RefBinaryModel {
       val useTags = flags.fields.get("useTags").contains(true)
       val useTaggySeq = flags.fields.get("useTaggySequences").contains(true)
       val paren = flags.fields.get("useParenMatching").contains(true)
+      // useNGrams value-shaping options flow into the model (all supported;
+      // maxNGramLeng may arrive as Int)
+      val ngram = NerFeatures.NgramOpts(
+        maxLen = flags.fields.get("maxNGramLeng").collect { case i: Int => i }.getOrElse(-1),
+        noMid = flags.fields.get("noMidNGrams").contains(true),
+        lowercase = flags.fields.get("lowercaseNGrams").contains(true),
+        dehyphenate = flags.fields.get("dehyphenateNGrams").contains(true))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim, useTags, useTaggySeq, paren)
+        reverse, distSim, useTags, useTaggySeq, paren, ngram)
     } finally in.close()
   }
 
@@ -136,13 +143,17 @@ object RefBinaryModel {
         s"model was trained with -$f: that feature family is not in this engine's template set")
       case _ => ()
     }
-    // value-changing flags: a mismatch silently alters feature strings
-    for (v <- flags.fields.get("noMidNGrams")) require(v == true,
-      "model was trained with mid-ngrams (noMidNGrams=false); this engine emits end-anchored ngrams only")
+    // value-changing flags: a mismatch silently alters feature strings.
+    // (noMidNGrams / maxNGramLeng / lowercaseNGrams / dehyphenateNGrams are
+    // now SUPPORTED and flow into the model's NgramOpts; greekifyNGrams and
+    // conjoinShapeNGrams remain outside the template set.)
+    for (v <- flags.fields.get("greekifyNGrams")) require(v != true,
+      "model was trained with -greekifyNGrams: not in this engine's template set")
+    for (v <- flags.fields.get("conjoinShapeNGrams")) require(v != true,
+      "model was trained with -conjoinShapeNGrams: not in this engine's template set")
     for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
     for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
       s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
-    for (v <- flags.fields.get("maxNGramLeng")) require(v == -1, s"maxNGramLeng $v != -1")
     for (v <- flags.fields.get("disjunctionWidth"))
       require(v == 4 || !flags.fields.get("useDisjunctive").contains(true),
         s"disjunctionWidth $v != 4 — this engine emits width-4 disjunctive features")

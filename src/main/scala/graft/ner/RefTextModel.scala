@@ -93,7 +93,8 @@ private[ner] object RefModelAssembly {
       distSim: Option[DistSim] = None,
       useTags: Boolean = false,
       useTaggySequences: Boolean = false,
-      useParenMatching: Boolean = false): NerModel = {
+      useParenMatching: Boolean = false,
+      ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -131,6 +132,6 @@ private[ner] object RefModelAssembly {
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
-      useTags, useTaggySequences, useParenMatching)
+      useTags, useTaggySequences, useParenMatching, ngramOpts)
   }
 }

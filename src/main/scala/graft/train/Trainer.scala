@@ -76,6 +76,9 @@ object Trainer {
       useTaggySequences: Boolean = false,
       // useParenMatching: matched open/close paren features (CpC + Cp2C)
       useParenMatching: Boolean = false,
+      // useNGrams options (maxNGramLeng / noMidNGrams / lowercaseNGrams /
+      // dehyphenateNGrams — NERFeatureFactory.java:1173-1197)
+      ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
       // Ceiling on the knownLCWords vocabulary (model state used for the
       // dan2 'k' shape suffix). The reference grows it unboundedly
       // (CRFClassifier.java:1560 / ObjectBankWrapper.java:46-68) — fine at
@@ -141,7 +144,9 @@ object Trainer {
     Seq(cfg.background, cfg.normalizeTerms, cfg.useOccurrencePatterns,
       cfg.useTags, cfg.useTaggySequences, cfg.useReverse, cfg.useParenMatching,
       cfg.observedSequencesOnly, cfg.removeBackgroundSingletonFeatures,
-      cfg.distSim.isDefined, !cfg.gazette.isEmpty, cfg.maxKnownLCWords).mkString("|")
+      cfg.distSim.isDefined, !cfg.gazette.isEmpty, cfg.maxKnownLCWords,
+      cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
+      cfg.ngramOpts.dehyphenate).mkString("|")
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
 
@@ -215,6 +220,7 @@ object Trainer {
     val useTgSeq = cfg.useTaggySequences
     val useRev = cfg.useReverse
     val useParen = cfg.useParenMatching
+    val ngOpts = cfg.ngramOpts
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = loadedMeta.map(_.knownLC)
       .getOrElse(knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords))
@@ -241,7 +247,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -251,7 +257,7 @@ object Trainer {
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -346,7 +352,7 @@ object Trainer {
           .map { d =>
             val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
             val dict = bcastDict.value
-            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen)
+            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
             (enc, d.labels.map(classOf).toArray)
           }
           .cache()
@@ -580,7 +586,7 @@ object Trainer {
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
       cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
-      cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching)
+      cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching, cfg.ngramOpts)
   }
 
   /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
@@ -611,12 +617,13 @@ object Trainer {
       gaz: Gazette = Gazette.empty, occPatterns: Boolean = false,
       useDistSim: Boolean = false, useTags: Boolean = false,
       useTaggySeq: Boolean = false, reverse: Boolean = false,
-      parenMatching: Boolean = false): Crf.EncodedDoc = {
+      parenMatching: Boolean = false,
+      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
       out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
-        useTags, useTaggySeq, reverse, parenMatching).map { feats =>
+        useTags, useTaggySeq, reverse, parenMatching, ngram).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

@@ -831,6 +831,31 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
+  test("NGRAM-OPTIONS differential: maxNGramLeng + lowercaseNGrams (value-changing flags)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // round-2 loaders REJECTED these flags; now they flow into NgramOpts.
+    // maxNGramLeng caps substring length, lowercaseNGrams lowercases the
+    // padded word before substring generation — both silently change feature
+    // VALUES, so only a reference-trained differential can certify them.
+    val agreement = runOccTagLeg("/tmp/refngram1",
+      Seq("-maxNGramLeng", "4", "-lowercaseNGrams", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
+  test("MID-NGRAMS differential: noMidNGrams=false (the reference's own default)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // interior substrings too (quadratic family; maxNGramLeng=5 bounds it).
+    // The later -noMidNGrams false overrides the preset's true (Properties
+    // last-write-wins on duplicate keys).
+    val agreement = runOccTagLeg("/tmp/refngram2",
+      Seq("-noMidNGrams", "false", "-maxNGramLeng", "5"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -49,6 +49,63 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(model.tag(Vector("see", "a" * 9000, ".")).length == 3)
   }
 
+  test("ngram options: dehyphenate quirks; string path == fast path under every option") {
+    import graft.text.WordShape
+    // dehyphenate goldens hand-traced through NERFeatureFactory.java:540-555
+    // (the leng-2 bound uses the ORIGINAL length; scan resumes at the removal
+    // index, so runs of hyphens collapse; the padded trailing hyphen stays)
+    assert(NerFeatures.dehyphenate("<a-b>") == "<ab>")
+    assert(NerFeatures.dehyphenate("<x-->") == "<x>")
+    assert(NerFeatures.dehyphenate("<ab->") == "<ab->") // ending hyphen kept
+    assert(NerFeatures.dehyphenate("<-ab>") == "<-ab>") // scan starts at 2
+    assert(NerFeatures.dehyphenate("<e-mail-id>") == "<emailid>")
+
+    // ngram emission goldens: maxLen + noMid + lowercase on "<Ab-c>"
+    val ng = NerFeatures.NgramOpts(maxLen = 3, noMid = false, lowercase = true, dehyphenate = true)
+    val toks = Vector("Ab-c").map(w => NerFeatures.Tok(w, WordShape.dan2(w, Set.empty)))
+    val g0 = NerFeatures.featuresAt(toks, 0, Gazette.empty, occPatterns = false,
+      useDistSim = false, useTags = false, useTaggySeq = false,
+      reverse = false, parenMatching = false, ng)(0)
+    val ngrams = g0.filter(f => f.startsWith("#") && f.endsWith("|C")).toSet
+    // "<Ab-c>" -> lowercase "<ab-c>" -> dehyphenate "<abc>"; all substrings
+    // of length 2..3 (noMid off)
+    assert(ngrams == Set("#<a#|C", "#<ab#|C", "#ab#|C", "#abc#|C", "#bc#|C", "#bc>#|C",
+      "#c>#|C"), s"got $ngrams")
+
+    // string path == fast path under options, over mixed-case/hyphen words
+    val words = Vector("Alice", "e-mail", "ACME-Corp", "x", "a-b-c-d", ".")
+    val toks2 = words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, Set.empty)))
+    for (opt <- Seq(
+      NerFeatures.NgramOpts(maxLen = 4),
+      NerFeatures.NgramOpts(noMid = false),
+      NerFeatures.NgramOpts(maxLen = 3, noMid = false, lowercase = true),
+      NerFeatures.NgramOpts(maxLen = 5, dehyphenate = true),
+      NerFeatures.NgramOpts(maxLen = 4, noMid = false, lowercase = true, dehyphenate = true))) {
+      // dictionary from the string path's own output
+      val dict = new java.util.HashMap[String, Integer]()
+      val allFeats = Vector.newBuilder[String]
+      for (pos <- words.indices) {
+        val byG = NerFeatures.featuresAt(toks2, pos, Gazette.empty, false, false, false, false, false, false, opt)
+        byG.foreach(_.foreach(allFeats += _))
+      }
+      allFeats.result().distinct.sorted.zipWithIndex.foreach { case (f, i) =>
+        dict.put(f, Integer.valueOf(i))
+      }
+      val hash = new NerFeaturesFast.LongIntHash(dict.size)
+      dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
+      val scratch = new NerFeaturesFast.Scratch
+      for (pos <- words.indices) {
+        val slow = NerFeatures.featuresAt(toks2, pos, Gazette.empty, false, false, false, false, false, false, opt)
+          .map(_.map(f => dict.get(f).intValue))
+        val fast = NerFeaturesFast.idsAt(toks2, pos, hash, scratch, Gazette.empty,
+          occPatterns = false, useDistSim = false, useTags = false, useTaggySeq = false,
+          reverse = false, parenMatching = false, ngram = opt)
+        for (g <- 0 until 3)
+          assert(slow(g).toSeq == fast(g).toSeq, s"opt=$opt pos=$pos g=$g word=${words(pos)}")
+      }
+    }
+  }
+
   test("gazette features: fast path == string path; sloppy vs clean semantics") {
     import graft.text.WordShape
     val lines = Seq("PERSON Alice Johnson", "PERSON Dr. Carla Garcia",
