@@ -192,7 +192,8 @@ object NerFeatures {
   def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
       useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
       reverse: Boolean, parenMatching: Boolean,
-      ngram: NgramOpts = NgramOpts.default): Array[Array[String]] = {
+      ngram: NgramOpts = NgramOpts.default,
+      disjWidth: Int = 4): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -264,8 +265,8 @@ object NerFeatures {
     // loc+jump WITHOUT reverse() (:1998) while its neighbors use reverse().
     // All paths verified differentially (no-tags, tagged, tagged+reverse).
     if (occPatterns) occurrenceFeatures(toks, loc, reverse, g0.add(_))
-    var d = 1                                                  // useDisjunctive w=4 (:1267)
-    while (d <= 4) {
+    var d = 1                                // useDisjunctive, width from flags (:1267-1279)
+    while (d <= disjWidth) {
       g0.add(at(loc + d).word + "-DISJN|C")
       g0.add(at(loc - d).word + "-DISJP|C")
       d += 1

@@ -142,7 +142,8 @@ object NerFeaturesFast {
       gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
       useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
       parenMatching: Boolean,
-      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): Array[Array[Int]] = {
+      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+      disjWidth: Int = 4): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -237,7 +238,7 @@ object NerFeaturesFast {
     if (occPatterns)
       NerFeatures.occurrenceFeatures(toks, loc, reverse, s => emit(occHash.get(s).longValue))
     var d = 1
-    while (d <= 4) {
+    while (d <= disjWidth) {
       emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
       emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
       d += 1

@@ -54,7 +54,9 @@ final class NerModel(
     val useParenMatching: Boolean = false,
     // useNGrams options: maxNGramLeng / noMidNGrams / lowercaseNGrams /
     // dehyphenateNGrams (NERFeatureFactory.java:1173-1197)
-    val ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default
+    val ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+    // useDisjunctive width (flags.disjunctionWidth; NERFeatureFactory.java:1267-1279)
+    val disjunctionWidth: Int = 4
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -120,7 +122,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth)
       pos += 1
     }
     out
@@ -146,7 +148,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -179,7 +181,7 @@ final class NerModel(
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
       NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts))
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth))
     val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
     if (useReverse) out.reverse else out
   }
@@ -376,6 +378,7 @@ object NerModel {
         val ng = m.ngramOpts
         w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\n")
       }
+      if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
         ds.lexicon.toSeq.sorted.foreach { case (k, v) => w.write(s"$k\t$v\n") }
@@ -428,6 +431,7 @@ object NerModel {
       var taggySeq = false
       var paren = false
       var ngram = NerFeatures.NgramOpts.default
+      var disjWidth = 4
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
@@ -437,6 +441,8 @@ object NerModel {
         else if (line == "opt\tuseTags\ttrue") tagsFlag = true
         else if (line == "opt\tuseTaggySequences\ttrue") taggySeq = true
         else if (line == "opt\tuseParenMatching\ttrue") paren = true
+        else if (line.startsWith("opt\tdisjunctionWidth\t"))
+          disjWidth = line.split("\t")(2).toInt
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")
           ngram = NerFeatures.NgramOpts(p(1).toInt, p(2).toBoolean, p(3).toBoolean, p(4).toBoolean)
@@ -453,7 +459,8 @@ object NerModel {
       }
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
-        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren, ngram)
+        gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren, ngram,
+        disjWidth)
     } finally r.close()
   }
 }

@@ -85,9 +85,10 @@ object RefBinaryModel {
         noMid = flags.fields.get("noMidNGrams").contains(true),
         lowercase = flags.fields.get("lowercaseNGrams").contains(true),
         dehyphenate = flags.fields.get("dehyphenateNGrams").contains(true))
+      val disjWidth = flags.fields.get("disjunctionWidth").collect { case i: Int => i }.getOrElse(4)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim, useTags, useTaggySeq, paren, ngram)
+        reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth)
     } finally in.close()
   }
 
@@ -154,8 +155,8 @@ object RefBinaryModel {
     for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
     for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
       s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
-    for (v <- flags.fields.get("disjunctionWidth"))
-      require(v == 4 || !flags.fields.get("useDisjunctive").contains(true),
-        s"disjunctionWidth $v != 4 — this engine emits width-4 disjunctive features")
+    // disjunctionWidth is now supported and flows into the model
+    for (v <- flags.fields.get("useDisjunctiveShapeInteraction")) require(v != true,
+      "model was trained with -useDisjunctiveShapeInteraction: not in this engine's template set")
   }
 }

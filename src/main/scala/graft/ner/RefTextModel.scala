@@ -94,7 +94,8 @@ private[ner] object RefModelAssembly {
       useTags: Boolean = false,
       useTaggySequences: Boolean = false,
       useParenMatching: Boolean = false,
-      ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): NerModel = {
+      ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+      disjunctionWidth: Int = 4): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -132,6 +133,6 @@ private[ner] object RefModelAssembly {
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
-      useTags, useTaggySequences, useParenMatching, ngramOpts)
+      useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth)
   }
 }

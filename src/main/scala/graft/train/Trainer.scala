@@ -79,6 +79,8 @@ object Trainer {
       // useNGrams options (maxNGramLeng / noMidNGrams / lowercaseNGrams /
       // dehyphenateNGrams — NERFeatureFactory.java:1173-1197)
       ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+      // useDisjunctive width (flags.disjunctionWidth, preset default 4)
+      disjunctionWidth: Int = 4,
       // Ceiling on the knownLCWords vocabulary (model state used for the
       // dan2 'k' shape suffix). The reference grows it unboundedly
       // (CRFClassifier.java:1560 / ObjectBankWrapper.java:46-68) — fine at
@@ -146,7 +148,7 @@ object Trainer {
       cfg.observedSequencesOnly, cfg.removeBackgroundSingletonFeatures,
       cfg.distSim.isDefined, !cfg.gazette.isEmpty, cfg.maxKnownLCWords,
       cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
-      cfg.ngramOpts.dehyphenate).mkString("|")
+      cfg.ngramOpts.dehyphenate, cfg.disjunctionWidth).mkString("|")
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
 
@@ -221,6 +223,7 @@ object Trainer {
     val useRev = cfg.useReverse
     val useParen = cfg.useParenMatching
     val ngOpts = cfg.ngramOpts
+    val disjW = cfg.disjunctionWidth
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = loadedMeta.map(_.knownLC)
       .getOrElse(knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords))
@@ -247,7 +250,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -257,7 +260,7 @@ object Trainer {
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -352,7 +355,7 @@ object Trainer {
           .map { d =>
             val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
             val dict = bcastDict.value
-            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts)
+            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
             (enc, d.labels.map(classOf).toArray)
           }
           .cache()
@@ -586,7 +589,8 @@ object Trainer {
     docs.unpersist()
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
       cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
-      cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching, cfg.ngramOpts)
+      cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching, cfg.ngramOpts,
+      cfg.disjunctionWidth)
   }
 
   /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
@@ -618,12 +622,13 @@ object Trainer {
       useDistSim: Boolean = false, useTags: Boolean = false,
       useTaggySeq: Boolean = false, reverse: Boolean = false,
       parenMatching: Boolean = false,
-      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default): Crf.EncodedDoc = {
+      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+      disjWidth: Int = 4): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
       out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
-        useTags, useTaggySeq, reverse, parenMatching, ngram).map { feats =>
+        useTags, useTaggySeq, reverse, parenMatching, ngram, disjWidth).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

@@ -856,6 +856,16 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("DISJUNCTION-WIDTH differential: disjunctionWidth=2 (value-changing flag)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // the preset's -disjunctionWidth 4 is overridden (Properties
+    // last-write-wins): DISJN/DISJP emit over a +-2 window instead of +-4
+    val agreement = runOccTagLeg("/tmp/refdisj2",
+      Seq("-disjunctionWidth", "2"), reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -114,5 +114,15 @@ class PipelineSpec extends AnyFunSuite {
     // must carry fewer label windows than the full product (4^3 = 64)
     assert(model.layout.numCols(2) < 64, s"numCols=${model.layout.numCols.toSeq}")
     assert(loaded.layout.numCols.toSeq == model.layout.numCols.toSeq)
+    // ngram-options + disjunctionWidth trailers round-trip (v3 additions)
+    val opt = new graft.ner.NerModel(model.classIndex, model.backgroundIndex,
+      model.featureIndex, model.layout, model.weights, model.knownLC,
+      ngramOpts = graft.ner.NerFeatures.NgramOpts(maxLen = 4, noMid = false, lowercase = true),
+      disjunctionWidth = 2)
+    val path2 = java.nio.file.Files.createTempDirectory("nermodel").resolve("m2.gz").toString
+    NerModel.save(opt, path2)
+    val loaded2 = NerModel.load(path2)
+    assert(loaded2.ngramOpts == opt.ngramOpts)
+    assert(loaded2.disjunctionWidth == 2)
   }
 }
