@@ -222,6 +222,13 @@ object NerFeatures {
       }
       i += 1
     }
+    // useWord - ON BY DEFAULT in the reference (SeqClassifierFlags.java:120)
+    // and unset by every 3-class preset, so every stock model carries
+    // word-WORD features (round-3 finding: the family was missing here and
+    // the 100% differentials were riding on margin, not byte parity; models
+    // trained with -useWord false simply hash-miss these, the usual
+    // unseen-feature rule)
+    g0.add(cWord + "-WORD|C")                                 // useWord (:786-788)
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
     if (useTags)                                               // useTags (:943)

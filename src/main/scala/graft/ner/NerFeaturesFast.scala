@@ -209,6 +209,7 @@ object NerFeaturesFast {
         i0 += 1
       }
     }
+    emit(h(h(h(FnvOffset, cWord), "-WORD"), suffixC)) // useWord (default true)
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))

@@ -136,9 +136,24 @@ object RefBinaryModel {
     // the other way round: flags whose templates the MODEL contains but this
     // engine cannot emit, and flags that change feature VALUES rather than
     // presence.
+    // COMPLETE closure over NERFeatureFactory's feature-emitting flags
+    // (round-3 audit: every flags.useX read by featuresC/CpC/CpCp2C that this
+    // engine does not emit and no certified preset sets - a model trained
+    // with any of these has dictionary features we cannot produce, which
+    // would silently drift scores instead of failing loudly)
     val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
       "useNPHead", "useNPGovernor", "useChunks", "useOrdinal", "useAbbr",
-      "useMinimalAbbr", "useExtraTaggySequences", "useMoreTags", "useEitherSideWord")
+      "useMinimalAbbr", "useExtraTaggySequences", "useMoreTags", "useEitherSideWord",
+      "useTypeSeqs3", "useTaggySequencesShapeInteraction", "useMinimalAbbr1",
+      "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
+      "useSymWordPairs", "useNextSequences", "useDisjShape", "useWordTag",
+      "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences", "useTitle",
+      "usePrevVB", "usePrevNextLemmas", "usePosition", "useNextVB",
+      "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
+      "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
+      "useGENIA", "useFirstWord", "useFREQ", "useEntityTypeSequences",
+      "useEntityRule", "useEitherSideDisjunctive", "useChunkySequences",
+      "useBeginSent", "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -831,6 +831,45 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
+  test("DICTIONARY COVERAGE: every model feature is emittable by our engine on the train corpus") {
+    // round-3 finding: tag agreement alone can hide a missing template family
+    // behind decision margins (the default-true useWord '-WORD' features sat
+    // in every model dictionary but were never emitted here; tags still
+    // agreed 100.000%). The sharper invariant: the reference model's
+    // dictionary must be a SUBSET of what our feature paths emit over the
+    // same training corpus — any uncovered dictionary entry is a template we
+    // cannot produce, i.e. silent score drift waiting for a harder corpus.
+    val dir = "/tmp/refbridge"
+    assume(Files.exists(Paths.get(s"$dir/ref.txt.gz")), "bridge artifacts not present")
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = RefTextModel.load(s"$dir/ref.txt.gz", lcWords("train.tsv") ++ lcWords("test.tsv"))
+    val docs = {
+      val out = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]; var any = false
+      Files.readAllLines(Paths.get(s"$dir/train.tsv")).asScala.foreach { line =>
+        if (line.trim.isEmpty) { if (any) { out += cur.result(); cur = Vector.newBuilder; any = false } }
+        else { cur += line.split("\t")(0); any = true }
+      }
+      if (any) out += cur.result()
+      out.result()
+    }
+    val emitted = new java.util.HashSet[String]()
+    for (words <- docs) {
+      val toks = model.preprocess(words)
+      for (pos <- words.indices)
+        graft.ner.NerFeatures.featuresAt(toks, pos, model.gazette, model.useOccurrencePatterns,
+          model.distSim.isDefined, model.useTags, model.useTaggySequences, model.useReverse,
+          model.useParenMatching, model.ngramOpts, model.disjunctionWidth)
+          .foreach(_.foreach(emitted.add(_)))
+    }
+    val missing = model.featureIndex.keySet().asScala.toSeq.filterNot(emitted.contains).sorted
+    info(s"model dictionary ${model.numFeatures} features; our emission covers ${model.numFeatures - missing.size}")
+    assert(missing.isEmpty,
+      s"${missing.size} model features our engine never emits; sample: ${missing.take(12).mkString(", ")}")
+  }
+
   test("NGRAM-OPTIONS differential: maxNGramLeng + lowercaseNGrams (value-changing flags)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")
