@@ -256,22 +256,28 @@ object SparkEntry {
       import s.implicits._
       val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
-      val dir = java.nio.file.Files.createTempDirectory("graft_delim_")
-      java.nio.file.Files.writeString(dir.resolve("corpus.txt"),
-        texts.mkString("-DOCSTART-\n", "\n-DOCSTART-\n", "\n"))
-      graft.sources.RecordIterators.readDelimited(s, dir.toString, "\\n?-DOCSTART-\\n")
-        .select(col("record_idx"), col("record"))
+      if (texts.isEmpty) s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_delim_")
+        java.nio.file.Files.writeString(dir.resolve("corpus.txt"),
+          texts.mkString("-DOCSTART-\n", "\n-DOCSTART-\n", "\n"))
+        graft.sources.RecordIterators.readDelimited(s, dir.toString, "\\n?-DOCSTART-\\n")
+          .select(col("record_idx"), col("record"))
+      }
     }),
     "q40_xml_records" -> ((s, d) => {
       import s.implicits._
       val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
-      val dir = java.nio.file.Files.createTempDirectory("graft_xml_")
-      // noise elements + free text between records must be skipped
-      java.nio.file.Files.writeString(dir.resolve("corpus.xml"),
-        texts.map(t => s"<doc>$t</doc>\n<meta>skip me</meta>\nloose text\n").mkString)
-      graft.sources.RecordIterators.readXmlElements(s, dir.toString, "doc")
-        .select(col("record_idx"), col("record"))
+      if (texts.isEmpty) s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_xml_")
+        // noise elements + free text between records must be skipped
+        java.nio.file.Files.writeString(dir.resolve("corpus.xml"),
+          texts.map(t => s"<doc>$t</doc>\n<meta>skip me</meta>\nloose text\n").mkString)
+        graft.sources.RecordIterators.readXmlElements(s, dir.toString, "doc")
+          .select(col("record_idx"), col("record"))
+      }
     })
   )
 

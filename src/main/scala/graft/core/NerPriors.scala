@@ -100,6 +100,25 @@ object NerPriors {
     def length: Int = words.length
     def numClasses: Int = classIndex.size
 
+    // candidate positions per case-canonical first word: turns each
+    // otherOccurrences computation from an O(L) scan into a lookup over the
+    // (few) positions sharing the word — the words are FIXED for a given
+    // prior instance, so this is built once (review finding: the from-scratch
+    // rescan made long-document Gibbs quadratic per extraction). Canonical
+    // form per char mirrors equalsIgnoreCase's per-char rule, and matches()
+    // still verifies with equalsIgnoreCase itself.
+    private def canon(s: String): String = {
+      val a = new Array[Char](s.length)
+      var i = 0
+      while (i < s.length) {
+        a(i) = Character.toLowerCase(Character.toUpperCase(s.charAt(i))); i += 1
+      }
+      new String(a)
+    }
+    private val positionsByCanon: Map[String, Array[Int]] =
+      words.indices.groupBy(i => canon(words(i)))
+        .map { case (k, v) => k -> v.toArray }
+
     /** Case-insensitive word-sequence match at `position`
       * (EntityCachingAbstractSequencePrior.matches, :162-176).
       */
@@ -125,8 +144,8 @@ object NerPriors {
           var j = i + 1
           while (j < seq.length && seq(j) == seq(i)) j += 1
           val ew = (i until j).map(words)
-          val other = (0 until words.length)
-            .filter(p => p != i && matches(ew, p)).toArray
+          val other = positionsByCanon.getOrElse(canon(ew(0)), Array.emptyIntArray)
+            .filter(p => p != i && matches(ew, p))
           val e = Entity(seq(i), i, ew, other)
           var k = i
           while (k < j) { out(k) = e; k += 1 }

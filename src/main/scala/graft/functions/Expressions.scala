@@ -219,9 +219,18 @@ object GraftFunctions {
     for (n <- 1 to 8) // one registered name per shingle width (n is static)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"graft_shingles_$n", exprs => GraftShingles(exprs.head, n), "built-in")
-    // one registered name per (tables, bits) pair actually used (static params)
-    for ((t, b) <- Seq((16, 6), (8, 8)))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        s"graft_rhp_${t}_$b", exprs => GraftRhpSignatures(exprs.head, t, b), "built-in")
+    // one registered name per (tables, bits) pair actually used (static
+    // params); callers with other shapes use registerRhp below
+    for ((t, b) <- Seq((16, 6), (8, 8))) registerRhp(spark, t, b)
   }
+
+  /** Register the rhp-signature function for an arbitrary (nTables,
+    * bitsPerTable) pair — Similarity.lshTopK calls this for its own
+    * parameters, so the public API accepts any shape (review finding: only
+    * two static pairs were registered, a regression vs the old UDF).
+    */
+  def registerRhp(spark: SparkSession, nTables: Int, bitsPerTable: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"graft_rhp_${nTables}_$bitsPerTable",
+      exprs => GraftRhpSignatures(exprs.head, nTables, bitsPerTable), "built-in")
 }

@@ -25,6 +25,13 @@ final class Gazette(
 
   def isEmpty: Boolean = sloppy.isEmpty && clean.isEmpty
 
+  /** Deterministic content rendering for fingerprints (sorted; every field). */
+  def fingerprintParts: Iterator[String] =
+    sloppy.toSeq.sortBy(_._1).iterator.map { case (w, fs) => s"s $w ${fs.mkString(",")}" } ++
+      clean.toSeq.sortBy(_._1).iterator.map { case (w, es) =>
+        s"c $w ${es.map(e => s"${e.loc}:${e.words.mkString(" ")}:${e.feature}").mkString(",")}"
+      }
+
   /** fnv64(feature + "|C") per sloppy feature, for the fast path. */
   @transient lazy val sloppyHashes: Map[String, Array[Long]] =
     sloppy.map { case (w, fs) => w -> fs.map(f => NerFeaturesFast.fnv(f + "|C")) }

@@ -248,13 +248,18 @@ final class NerModel(
     // -useNERPrior: the reference's empirical entity-pair penalty matrices
     // (EmpiricalNERPrior.java), factored next to the CRF exactly like the
     // consistency prior
+    // priors see the WRAPPER-FIXED words, like the reference's doc at prior
+    // time (ObjectBankWrapper runs before the prior is built; under
+    // normalizeTerms that includes Americanize — review finding: raw words
+    // here made occurrence matching diverge for normalizeTerms models)
+    lazy val fixedIn = in.map(fix)
     val priors = Seq.newBuilder[graft.core.Gibbs.SequenceScorer]
     if (consistencyPenalty > 0)
       priors += new graft.core.Gibbs.ConsistencyPrior(
-        in.map(WordShape.fixWord), classIndex.length, consistencyPenalty)
+        fixedIn, classIndex.length, consistencyPenalty)
     if (useNerPrior)
       priors += new graft.core.NerPriors.EmpiricalNerPrior(
-        in, classIndex.toIndexedSeq, classIndex(backgroundIndex))
+        fixedIn, classIndex.toIndexedSeq, classIndex(backgroundIndex))
     val ps = priors.result()
     val scorer: graft.core.Gibbs.SequenceScorer =
       if (ps.isEmpty) crf else new graft.core.Gibbs.FactoredScorer(crf +: ps)

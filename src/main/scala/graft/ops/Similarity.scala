@@ -83,6 +83,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.registerRhp(spark, nTables, bitsPerTable)
     // native codegen'd signature expression (was a per-row Scala UDF —
     // round-2 review finding: it broke the engine's codegen standard)
     val chunked = embeddings.select(col("vec_id"), col("embedding"),

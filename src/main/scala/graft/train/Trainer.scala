@@ -142,13 +142,23 @@ object Trainer {
   /** The feature-shaping fingerprint stored in (and validated against) a
     * processed-data artifact.
     */
-  private def featureFlags(cfg: Config): String =
+  private def featureFlags(cfg: Config): String = {
+    // gazette/distsim are fingerprinted by CONTENT hash, not mere presence:
+    // an artifact featurized under gazette A must not be reused for gazette B
+    // (review finding - the features would silently disagree with the model's
+    // attached gazette)
+    def fnvAll(parts: Iterator[String]): Long =
+      parts.foldLeft(0xcbf29ce484222325L)((h, p) => graft.ops.Hashing.fnv1a64(p) ^ (h * 31))
+    val gazHash = fnvAll(cfg.gazette.fingerprintParts)
+    val dsHash = fnvAll(cfg.distSim.iterator.flatMap(_.lexicon.toSeq.sorted.iterator
+      .map { case (k, v) => s"$k\u0000$v" }))
     Seq(cfg.background, cfg.normalizeTerms, cfg.useOccurrencePatterns,
       cfg.useTags, cfg.useTaggySequences, cfg.useReverse, cfg.useParenMatching,
       cfg.observedSequencesOnly, cfg.removeBackgroundSingletonFeatures,
-      cfg.distSim.isDefined, !cfg.gazette.isEmpty, cfg.maxKnownLCWords,
+      dsHash, gazHash, cfg.maxKnownLCWords,
       cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
       cfg.ngramOpts.dehyphenate, cfg.disjunctionWidth).mkString("|")
+  }
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
 
@@ -362,8 +372,12 @@ object Trainer {
       }
       val nEncoded = encoded.count() // materialize (== corpus size, incl. the loaded-artifact path)
 
-      // first featurization with processedDataDir set -> persist the artifact
-      if (iter == 0 && loadedMeta.isEmpty) for (dir <- cfg.processedDataDir) {
+      // first featurization with processedDataDir set -> persist the artifact.
+      // Skipped under prune-retrain: the load path (correctly) rejects
+      // pruning configs, so writing here would poison the directory for a
+      // rerun of the very config that created it (review finding).
+      if (iter == 0 && loadedMeta.isEmpty && cfg.numTimesPruneFeatures == 0)
+        for (dir <- cfg.processedDataDir) {
         encoded.map { case (e, l) =>
           (e.map(_.map(_.toSeq).toSeq).toSeq, l.toSeq)
         }.write.mode("overwrite").parquet(s"$dir/encoded.parquet")
