@@ -168,8 +168,17 @@ object NerFeatures {
     * the padded word first (:1178-1183).
     */
   final case class NgramOpts(maxLen: Int = -1, noMid: Boolean = true,
-      lowercase: Boolean = false, dehyphenate: Boolean = false)
+      lowercase: Boolean = false, dehyphenate: Boolean = false,
+      greekify: Boolean = false, conjoinShapes: Boolean = false)
   object NgramOpts { val default: NgramOpts = NgramOpts() }
+
+  /** greekify (NERFeatureFactory.java:557-566): replace any spelled-out greek
+    * letter from the fixed alternation with '~' (regex replaceAll on the
+    * padded word, applied after lowercase/dehyphenate).
+    */
+  private val GreekPat = java.util.regex.Pattern.compile(
+    "(alpha)|(beta)|(gamma)|(delta)|(epsilon)|(zeta)|(kappa)|(lambda)|(rho)|(sigma)|(tau)|(upsilon)|(omega)")
+  def greekify(str: String): String = GreekPat.matcher(str).replaceAll("~")
 
   /** The reference's dehyphenate (NERFeatureFactory.java:540-555), quirks
     * included: only INTERNAL hyphens are removed (index >= 2 and
@@ -209,6 +218,7 @@ object NerFeatures {
       var s = "<" + cWord + ">"
       if (ngram.lowercase) s = s.toLowerCase
       if (ngram.dehyphenate) s = dehyphenate(s)
+      if (ngram.greekify) s = greekify(s)
       s
     }
     val L = w.length
@@ -216,8 +226,13 @@ object NerFeatures {
     while (i < L) {
       var j = i + 2
       while (j <= L) {
-        if ((!ngram.noMid || i == 0 || j == L) && (ngram.maxLen < 0 || j - i <= ngram.maxLen))
-          g0.add("#" + w.substring(i, j) + "#|C")
+        if ((!ngram.noMid || i == 0 || j == L) && (ngram.maxLen < 0 || j - i <= ngram.maxLen)) {
+          val sub = "#" + w.substring(i, j) + "#"
+          g0.add(sub + "|C")
+          // conjoinShapeNGrams (:1203-1207): every substring also conjoined
+          // with the current word's shape (getString semantics)
+          if (ngram.conjoinShapes) g0.add(sub + "-" + cShape + "-CNGram-CS|C")
+        }
         j += 1
       }
       i += 1

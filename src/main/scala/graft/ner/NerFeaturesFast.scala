@@ -191,6 +191,8 @@ object NerFeaturesFast {
       var w0 = "<" + cWord + ">"
       if (ngram.lowercase) w0 = w0.toLowerCase
       if (ngram.dehyphenate) w0 = NerFeatures.dehyphenate(w0)
+      if (ngram.greekify) w0 = NerFeatures.greekify(w0)
+      val cShapeForNGrams = if (c.shape == null) "" else c.shape // getString semantics
       val wLen = w0.length
       var i0 = 0
       while (i0 < wLen) {
@@ -203,6 +205,8 @@ object NerFeaturesFast {
             while (k < j) { x = hc(x, w0.charAt(k)); k += 1 }
             x = hc(x, '#')
             emit(h(x, suffixC))
+            if (ngram.conjoinShapes) // "#sub#-<shape>-CNGram-CS|C"
+              emit(h(h(h(hc(x, '-'), cShapeForNGrams), "-CNGram-CS"), suffixC))
           }
           j += 1
         }

@@ -381,7 +381,7 @@ object NerModel {
       if (m.useTaggySequences) w.write("opt\tuseTaggySequences\ttrue\n")
       if (m.ngramOpts != NerFeatures.NgramOpts.default) {
         val ng = m.ngramOpts
-        w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\n")
+        w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\t${ng.greekify}\t${ng.conjoinShapes}\n")
       }
       if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
       m.distSim.foreach { ds =>
@@ -450,7 +450,9 @@ object NerModel {
           disjWidth = line.split("\t")(2).toInt
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")
-          ngram = NerFeatures.NgramOpts(p(1).toInt, p(2).toBoolean, p(3).toBoolean, p(4).toBoolean)
+          ngram = NerFeatures.NgramOpts(p(1).toInt, p(2).toBoolean, p(3).toBoolean, p(4).toBoolean,
+            if (p.length > 5) p(5).toBoolean else false,
+            if (p.length > 6) p(6).toBoolean else false)
         }
         else if (line.startsWith("distsim\t")) {
           val n = line.split("\t")(1).toInt

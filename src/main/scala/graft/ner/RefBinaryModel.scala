@@ -84,7 +84,9 @@ object RefBinaryModel {
         maxLen = flags.fields.get("maxNGramLeng").collect { case i: Int => i }.getOrElse(-1),
         noMid = flags.fields.get("noMidNGrams").contains(true),
         lowercase = flags.fields.get("lowercaseNGrams").contains(true),
-        dehyphenate = flags.fields.get("dehyphenateNGrams").contains(true))
+        dehyphenate = flags.fields.get("dehyphenateNGrams").contains(true),
+        greekify = flags.fields.get("greekifyNGrams").contains(true),
+        conjoinShapes = flags.fields.get("conjoinShapeNGrams").contains(true))
       val disjWidth = flags.fields.get("disjunctionWidth").collect { case i: Int => i }.getOrElse(4)
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
@@ -160,13 +162,9 @@ object RefBinaryModel {
       case _ => ()
     }
     // value-changing flags: a mismatch silently alters feature strings.
-    // (noMidNGrams / maxNGramLeng / lowercaseNGrams / dehyphenateNGrams are
-    // now SUPPORTED and flow into the model's NgramOpts; greekifyNGrams and
-    // conjoinShapeNGrams remain outside the template set.)
-    for (v <- flags.fields.get("greekifyNGrams")) require(v != true,
-      "model was trained with -greekifyNGrams: not in this engine's template set")
-    for (v <- flags.fields.get("conjoinShapeNGrams")) require(v != true,
-      "model was trained with -conjoinShapeNGrams: not in this engine's template set")
+    // (noMidNGrams / maxNGramLeng / lowercaseNGrams / dehyphenateNGrams /
+    // greekifyNGrams / conjoinShapeNGrams are all SUPPORTED and flow into the
+    // model's NgramOpts.)
     for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
     for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
       s"wordShape $v != 3 (dan2useLC) — shape function mismatch")

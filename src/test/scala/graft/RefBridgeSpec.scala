@@ -895,6 +895,17 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("CONJOIN+GREEKIFY differential: conjoinShapeNGrams + greekifyNGrams") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // every n-gram substring also conjoined with the word shape; greekify is
+    // exercised as the (identity on this corpus) transform in the same chain
+    val agreement = runOccTagLeg("/tmp/refconjoin",
+      Seq("-conjoinShapeNGrams", "true", "-greekifyNGrams", "true", "-maxNGramLeng", "4"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("DISJUNCTION-WIDTH differential: disjunctionWidth=2 (value-changing flag)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -60,6 +60,12 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(NerFeatures.dehyphenate("<-ab>") == "<-ab>") // scan starts at 2
     assert(NerFeatures.dehyphenate("<e-mail-id>") == "<emailid>")
 
+    // greekify goldens (NERFeatureFactory.java:557-566: fixed alternation -> '~')
+    assert(NerFeatures.greekify("<alphabet>") == "<~bet>")
+    assert(NerFeatures.greekify("<tnf-alpha>") == "<tnf-~>")
+    assert(NerFeatures.greekify("<betagamma>") == "<~~>")
+    assert(NerFeatures.greekify("<plain>") == "<plain>")
+
     // ngram emission goldens: maxLen + noMid + lowercase on "<Ab-c>"
     val ng = NerFeatures.NgramOpts(maxLen = 3, noMid = false, lowercase = true, dehyphenate = true)
     val toks = Vector("Ab-c").map(w => NerFeatures.Tok(w, WordShape.dan2(w, Set.empty)))
@@ -73,14 +79,16 @@ class FeatureParitySpec extends AnyFunSuite {
       "#c>#|C"), s"got $ngrams")
 
     // string path == fast path under options, over mixed-case/hyphen words
-    val words = Vector("Alice", "e-mail", "ACME-Corp", "x", "a-b-c-d", ".")
+    val words = Vector("Alice", "e-mail", "ACME-Corp", "x", "a-b-c-d", "tnf-alpha", ".")
     val toks2 = words.map(w => NerFeatures.Tok(WordShape.fixWord(w), WordShape.dan2(w, Set.empty)))
     for (opt <- Seq(
       NerFeatures.NgramOpts(maxLen = 4),
       NerFeatures.NgramOpts(noMid = false),
       NerFeatures.NgramOpts(maxLen = 3, noMid = false, lowercase = true),
       NerFeatures.NgramOpts(maxLen = 5, dehyphenate = true),
-      NerFeatures.NgramOpts(maxLen = 4, noMid = false, lowercase = true, dehyphenate = true))) {
+      NerFeatures.NgramOpts(maxLen = 4, noMid = false, lowercase = true, dehyphenate = true),
+      NerFeatures.NgramOpts(maxLen = 4, greekify = true, conjoinShapes = true),
+      NerFeatures.NgramOpts(noMid = false, conjoinShapes = true))) {
       // dictionary from the string path's own output
       val dict = new java.util.HashMap[String, Integer]()
       val allFeats = Vector.newBuilder[String]
