@@ -180,6 +180,53 @@ object NerFeatures {
     "(alpha)|(beta)|(gamma)|(delta)|(epsilon)|(zeta)|(kappa)|(lambda)|(rho)|(sigma)|(tau)|(upsilon)|(omega)")
   def greekify(str: String): String = GreekPat.matcher(str).replaceAll("~")
 
+  /** Small self-contained families outside the presets (all default off):
+    * useTitle (NERFeatureFactory.java:746,776-781), usePosition (:931-933),
+    * useBeginSent (:934-942), useSymWordPairs (:1020-1022), useFirstWord
+    * (:1168-1171), useOrdinal (:615-668,947-959,1519-1529).
+    */
+  final case class MiscOpts(useTitle: Boolean = false, usePosition: Boolean = false,
+      useBeginSent: Boolean = false, useSymWordPairs: Boolean = false,
+      useFirstWord: Boolean = false, useOrdinal: Boolean = false)
+  object MiscOpts { val default: MiscOpts = MiscOpts() }
+
+  private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
+  private[ner] def isTitleWord(w: String): Boolean = TitlePat.matcher(w).matches()
+
+  private val OrdinalPat = java.util.regex.Pattern.compile(
+    "(?:(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth|" +
+      "eleventh|twelfth|thirteenth|fourteenth|fifteenth|sixteenth|" +
+      "seventeenth|eighteenth|nineteenth|twenty|twentieth|thirty|thirtieth|" +
+      "fourty|fourtieth|fifty|fiftieth|sixty|sixtieth|seventy|seventieth|" +
+      "eighty|eightieth|ninety|ninetieth|one|two|three|four|five|six|seven|" +
+      "eight|nine|hundred|hundredth)-?)+|[0-9]+(?:st|nd|rd|th)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val NumberPat = java.util.regex.Pattern.compile("[0-9]+")
+  private val OrdinalEndPat = java.util.regex.Pattern.compile("(?:st|nd|rd|th)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** isOrdinal (NERFeatureFactory.java:631-668); out-of-range positions read
+    * as "" (PaddedList semantics) and match nothing.
+    */
+  private[ner] def isOrdinal(toks: IndexedSeq[Tok], pos: Int): Boolean = {
+    @inline def wordAt(i: Int): String = if (i >= 0 && i < toks.length) toks(i).word else ""
+    val w = wordAt(pos)
+    if (OrdinalPat.matcher(w).matches()) return true
+    if (NumberPat.matcher(w).matches()) {
+      if (pos + 1 < toks.length && OrdinalEndPat.matcher(wordAt(pos + 1)).matches()) return true
+      return false
+    }
+    if (OrdinalEndPat.matcher(w).matches()) {
+      if (pos > 0 && NumberPat.matcher(wordAt(pos - 1)).matches()) return true
+    }
+    if (w == "-") {
+      if (pos + 1 < toks.length && pos > 0 &&
+          OrdinalPat.matcher(wordAt(pos - 1)).matches() &&
+          OrdinalPat.matcher(wordAt(pos + 1)).matches()) return true
+    }
+    false
+  }
+
   /** The reference's dehyphenate (NERFeatureFactory.java:540-555), quirks
     * included: only INTERNAL hyphens are removed (index >= 2 and
     * < originalLength - 2 — the bound uses the ORIGINAL length even as the
@@ -202,7 +249,8 @@ object NerFeatures {
       useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
       reverse: Boolean, parenMatching: Boolean,
       ngram: NgramOpts = NgramOpts.default,
-      disjWidth: Int = 4): Array[Array[String]] = {
+      disjWidth: Int = 4,
+      misc: MiscOpts = MiscOpts.default): Array[Array[String]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -293,6 +341,18 @@ object NerFeatures {
       g0.add(at(loc - d).word + "-DISJP|C")
       d += 1
     }
+    if (misc.useTitle && isTitleWord(cWord)) g0.add("IS_TITLE|C")   // (:776-781)
+    if (misc.usePosition) g0.add(loc + "-POSITION|C")                // (:931-933)
+    if (misc.useBeginSent) {                                         // (:934-942)
+      if (loc == 0) { g0.add("BEGIN-SENT|C"); g0.add(cShape + "-BEGIN-SENT|C") }
+      else { g0.add("IN-SENT|C"); g0.add(cShape + "-IN-SENT|C") }
+    }
+    if (misc.useSymWordPairs) g0.add(pWord + "-" + nWord + "-SWORDS|C") // (:1020-1022)
+    if (misc.useFirstWord) g0.add(toks.headOption.map(_.word).getOrElse("") + "|C") // (:1168-1171)
+    if (misc.useOrdinal && isOrdinal(toks, loc)) {                   // (:947-959)
+      g0.add("C_ORDINAL|C")
+      if (isOrdinal(toks, loc - 1)) g0.add("PC_ORDINAL|C")
+    }
     // useGazettes (NERFeatureFactory.java:1211-1232): sloppy = feature on any
     // word hit; clean = feature only when the whole phrase matches around loc
     // (pad word "" never matches a phrase word)
@@ -311,6 +371,13 @@ object NerFeatures {
 
     // ---- group 1: CpC (CnC inactive: useNextSequences off) ----
     val g1 = new java.util.LinkedHashSet[String]()
+    if (misc.useOrdinal) {                                           // (:1519-1529)
+      if (isOrdinal(toks, loc)) {
+        g1.add("C_ORDINAL|CpC")
+        if (isOrdinal(toks, loc - 1)) g1.add("PC_ORDINAL|CpC")
+      }
+      if (isOrdinal(toks, loc - 1)) g1.add("P_ORDINAL|CpC")
+    }
     val pShapeS = shapeGetString(p)
     // useSequences + usePrevSequences (:1545-1561); DistSim strings are ""
     g1.add("PSEQ|CpC")

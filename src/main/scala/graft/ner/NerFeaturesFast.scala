@@ -143,7 +143,8 @@ object NerFeaturesFast {
       useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
       parenMatching: Boolean,
       ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
-      disjWidth: Int = 4): Array[Array[Int]] = {
+      disjWidth: Int = 4,
+      misc: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): Array[Array[Int]] = {
     @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
     val nt = at(loc + 1); val n2 = at(loc + 2)
@@ -248,6 +249,28 @@ object NerFeaturesFast {
       emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
       d += 1
     }
+    if (misc != NerFeatures.MiscOpts.default) {
+      val cShapeMisc = if (c.shape == null) "" else c.shape
+      if (misc.useTitle && NerFeatures.isTitleWord(cWord)) emit(h(h(FnvOffset, "IS_TITLE"), suffixC))
+      if (misc.usePosition) emit(h(h(h(FnvOffset, loc.toString), "-POSITION"), suffixC))
+      if (misc.useBeginSent) {
+        if (loc == 0) {
+          emit(h(h(FnvOffset, "BEGIN-SENT"), suffixC))
+          emit(h(h(h(FnvOffset, cShapeMisc), "-BEGIN-SENT"), suffixC))
+        } else {
+          emit(h(h(FnvOffset, "IN-SENT"), suffixC))
+          emit(h(h(h(FnvOffset, cShapeMisc), "-IN-SENT"), suffixC))
+        }
+      }
+      if (misc.useSymWordPairs)
+        emit(h(h(h(hc(h(FnvOffset, pWord), '-'), nWord), "-SWORDS"), suffixC))
+      if (misc.useFirstWord)
+        emit(h(h(FnvOffset, if (toks.nonEmpty) toks(0).word else ""), suffixC))
+      if (misc.useOrdinal && NerFeatures.isOrdinal(toks, loc)) {
+        emit(h(h(FnvOffset, "C_ORDINAL"), suffixC))
+        if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "PC_ORDINAL"), suffixC))
+      }
+    }
     // useGazettes: hashes precomputed at gazette build (string path parity
     // pinned by FeatureParitySpec); emission point mirrors NerFeatures
     if (!gaz.isEmpty) {
@@ -274,6 +297,13 @@ object NerFeaturesFast {
 
     // ---- group 1: CpC ----
     hn = 0
+    if (misc.useOrdinal) {
+      if (NerFeatures.isOrdinal(toks, loc)) {
+        emit(h(h(FnvOffset, "C_ORDINAL"), suffixCpC))
+        if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "PC_ORDINAL"), suffixCpC))
+      }
+      if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "P_ORDINAL"), suffixCpC))
+    }
     val pShapeGS = if (p.shape == null) "" else p.shape
     emit(h(h(FnvOffset, "PSEQ"), suffixCpC))
     emit(h(h(h(FnvOffset, cWord), "-PSEQW"), suffixCpC))

@@ -56,7 +56,10 @@ final class NerModel(
     // dehyphenateNGrams (NERFeatureFactory.java:1173-1197)
     val ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
     // useDisjunctive width (flags.disjunctionWidth; NERFeatureFactory.java:1267-1279)
-    val disjunctionWidth: Int = 4
+    val disjunctionWidth: Int = 4,
+    // small self-contained families: useTitle / usePosition / useBeginSent /
+    // useSymWordPairs / useFirstWord / useOrdinal
+    val miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -122,7 +125,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       out(pos) = NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
       pos += 1
     }
     out
@@ -148,7 +151,7 @@ final class NerModel(
     var pos = 0
     while (pos < n) {
       val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth)
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
       out(pos) = byGroup.map { feats =>
         val ids = new mutable.ArrayBuilder.ofInt
         var k = 0
@@ -181,7 +184,7 @@ final class NerModel(
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
       NerFeaturesFast.idsAt(toks, pos, hashIndex, s, gazette, useOccurrencePatterns,
-        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth))
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth, miscOpts))
     val out = Crf.viterbi(Crf.logPotentials(enc, params), params).map(classIndex)
     if (useReverse) out.reverse else out
   }
@@ -384,6 +387,10 @@ object NerModel {
         w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\t${ng.greekify}\t${ng.conjoinShapes}\n")
       }
       if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
+      if (m.miscOpts != NerFeatures.MiscOpts.default) {
+        val mo = m.miscOpts
+        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\n")
+      }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
         ds.lexicon.toSeq.sorted.foreach { case (k, v) => w.write(s"$k\t$v\n") }
@@ -437,6 +444,7 @@ object NerModel {
       var paren = false
       var ngram = NerFeatures.NgramOpts.default
       var disjWidth = 4
+      var misc = NerFeatures.MiscOpts.default
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("gazette\t")) gazette = Gazette.readTrailer(line, r)
@@ -448,6 +456,11 @@ object NerModel {
         else if (line == "opt\tuseParenMatching\ttrue") paren = true
         else if (line.startsWith("opt\tdisjunctionWidth\t"))
           disjWidth = line.split("\t")(2).toInt
+        else if (line.startsWith("misc\t")) {
+          val p = line.split("\t")
+          misc = NerFeatures.MiscOpts(p(1).toBoolean, p(2).toBoolean, p(3).toBoolean,
+            p(4).toBoolean, p(5).toBoolean, p(6).toBoolean)
+        }
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")
           ngram = NerFeatures.NgramOpts(p(1).toInt, p(2).toBoolean, p(3).toBoolean, p(4).toBoolean,
@@ -467,7 +480,7 @@ object NerModel {
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
         gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren, ngram,
-        disjWidth)
+        disjWidth, misc)
     } finally r.close()
   }
 }

@@ -88,9 +88,12 @@ object RefBinaryModel {
         greekify = flags.fields.get("greekifyNGrams").contains(true),
         conjoinShapes = flags.fields.get("conjoinShapeNGrams").contains(true))
       val disjWidth = flags.fields.get("disjunctionWidth").collect { case i: Int => i }.getOrElse(4)
+      def flag(n: String): Boolean = flags.fields.get(n).contains(true)
+      val misc = NerFeatures.MiscOpts(flag("useTitle"), flag("usePosition"),
+        flag("useBeginSent"), flag("useSymWordPairs"), flag("useFirstWord"), flag("useOrdinal"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth)
+        reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
     } finally in.close()
   }
 
@@ -144,18 +147,18 @@ object RefBinaryModel {
     // with any of these has dictionary features we cannot produce, which
     // would silently drift scores instead of failing loudly)
     val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
-      "useNPHead", "useNPGovernor", "useChunks", "useOrdinal", "useAbbr",
+      "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
       "useMinimalAbbr", "useExtraTaggySequences", "useMoreTags", "useEitherSideWord",
       "useTypeSeqs3", "useTaggySequencesShapeInteraction", "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
-      "useSymWordPairs", "useNextSequences", "useDisjShape", "useWordTag",
-      "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences", "useTitle",
-      "usePrevVB", "usePrevNextLemmas", "usePosition", "useNextVB",
+      "useNextSequences", "useDisjShape", "useWordTag",
+      "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences",
+      "usePrevVB", "usePrevNextLemmas", "useNextVB",
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
       "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
-      "useGENIA", "useFirstWord", "useFREQ", "useEntityTypeSequences",
+      "useGENIA", "useFREQ", "useEntityTypeSequences",
       "useEntityRule", "useEitherSideDisjunctive", "useChunkySequences",
-      "useBeginSent", "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
+      "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -95,7 +95,8 @@ private[ner] object RefModelAssembly {
       useTaggySequences: Boolean = false,
       useParenMatching: Boolean = false,
       ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
-      disjunctionWidth: Int = 4): NerModel = {
+      disjunctionWidth: Int = 4,
+      miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -133,6 +134,6 @@ private[ner] object RefModelAssembly {
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
-      useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth)
+      useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
   }
 }

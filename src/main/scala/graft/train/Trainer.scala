@@ -81,6 +81,9 @@ object Trainer {
       ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
       // useDisjunctive width (flags.disjunctionWidth, preset default 4)
       disjunctionWidth: Int = 4,
+      // small families: useTitle/usePosition/useBeginSent/useSymWordPairs/
+      // useFirstWord/useOrdinal
+      miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default,
       // Ceiling on the knownLCWords vocabulary (model state used for the
       // dan2 'k' shape suffix). The reference grows it unboundedly
       // (CRFClassifier.java:1560 / ObjectBankWrapper.java:46-68) — fine at
@@ -157,7 +160,8 @@ object Trainer {
       cfg.observedSequencesOnly, cfg.removeBackgroundSingletonFeatures,
       dsHash, gazHash, cfg.maxKnownLCWords,
       cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
-      cfg.ngramOpts.dehyphenate, cfg.disjunctionWidth).mkString("|")
+      cfg.ngramOpts.dehyphenate, cfg.ngramOpts.greekify, cfg.ngramOpts.conjoinShapes,
+      cfg.disjunctionWidth, cfg.miscOpts).mkString("|")
   }
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
@@ -234,6 +238,7 @@ object Trainer {
     val useParen = cfg.useParenMatching
     val ngOpts = cfg.ngramOpts
     val disjW = cfg.disjunctionWidth
+    val miscO = cfg.miscOpts
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = loadedMeta.map(_.knownLC)
       .getOrElse(knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords))
@@ -260,7 +265,7 @@ object Trainer {
         docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
         }.distinct().collect().sortBy(t => (t._1, t._2))
@@ -270,7 +275,7 @@ object Trainer {
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
-            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
+            val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) =>
               val isBg =
                 if (g == 0) lab(pos) == bg
@@ -365,7 +370,7 @@ object Trainer {
           .map { d =>
             val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
             val dict = bcastDict.value
-            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW)
+            val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             (enc, d.labels.map(classOf).toArray)
           }
           .cache()
@@ -604,7 +609,7 @@ object Trainer {
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
       cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
       cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching, cfg.ngramOpts,
-      cfg.disjunctionWidth)
+      cfg.disjunctionWidth, cfg.miscOpts)
   }
 
   /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
@@ -637,12 +642,13 @@ object Trainer {
       useTaggySeq: Boolean = false, reverse: Boolean = false,
       parenMatching: Boolean = false,
       ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
-      disjWidth: Int = 4): Crf.EncodedDoc = {
+      disjWidth: Int = 4,
+      misc: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): Crf.EncodedDoc = {
     val out = new Array[Array[Array[Int]]](toks.length)
     var pos = 0
     while (pos < toks.length) {
       out(pos) = NerFeatures.featuresAt(toks, pos, gaz, occPatterns, useDistSim,
-        useTags, useTaggySeq, reverse, parenMatching, ngram, disjWidth).map { feats =>
+        useTags, useTaggySeq, reverse, parenMatching, ngram, disjWidth, misc).map { feats =>
         val b = new scala.collection.mutable.ArrayBuilder.ofInt
         var k = 0
         while (k < feats.length) {

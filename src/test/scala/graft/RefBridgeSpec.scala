@@ -895,6 +895,20 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("MISC-FAMILIES differential: position/beginSent/symWordPairs/firstWord/title/ordinal") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // position/beginSent/symWordPairs/firstWord fire on every token of the
+    // fixture; title/ordinal are plumbed through the same leg (the fixture
+    // vocabulary contains neither, so they are consistent no-ops here and
+    // covered by unit goldens + path parity)
+    val agreement = runOccTagLeg("/tmp/refmisc",
+      Seq("-usePosition", "true", "-useBeginSent", "true", "-useSymWordPairs", "true",
+        "-useFirstWord", "true", "-useTitle", "true", "-useOrdinal", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("CONJOIN+GREEKIFY differential: conjoinShapeNGrams + greekifyNGrams") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

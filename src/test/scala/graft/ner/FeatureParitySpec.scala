@@ -114,6 +114,50 @@ class FeatureParitySpec extends AnyFunSuite {
     }
   }
 
+  test("misc families: title/ordinal goldens; string path == fast path with all six on") {
+    import graft.text.WordShape
+    // titlePattern (NERFeatureFactory.java:746): optional trailing period
+    assert(NerFeatures.isTitleWord("Dr") && NerFeatures.isTitleWord("Dr."))
+    assert(NerFeatures.isTitleWord("Mrs") && !NerFeatures.isTitleWord("dr"))
+    assert(!NerFeatures.isTitleWord("Doctor"))
+    // isOrdinal (:631-668): spelled ordinals, number+suffix pairs, hyphen join
+    def toksOf(ws: String*) = ws.toIndexedSeq.map(w => NerFeatures.Tok(w, WordShape.dan2(w, Set.empty)))
+    val t1 = toksOf("the", "3", "rd", "place", "twenty-first", "17th", "-")
+    assert(!NerFeatures.isOrdinal(t1, 0))
+    assert(NerFeatures.isOrdinal(t1, 1), "number followed by ordinal suffix")
+    assert(NerFeatures.isOrdinal(t1, 2), "suffix preceded by number")
+    assert(!NerFeatures.isOrdinal(t1, 3))
+    assert(NerFeatures.isOrdinal(t1, 4), "hyphen-joined spelled ordinal")
+    assert(NerFeatures.isOrdinal(t1, 5), "digits+th")
+    val t2 = toksOf("first", "-", "second")
+    assert(NerFeatures.isOrdinal(t2, 1), "'-' between two ordinals")
+
+    val words = Vector("Dr", "Smith", "won", "3", "rd", "place", "twenty-first", ".")
+    val toks = toksOf(words: _*)
+    val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
+      useSymWordPairs = true, useFirstWord = true, useOrdinal = true)
+    val dict = new java.util.HashMap[String, Integer]()
+    for (pos <- words.indices; g <- 0 until 3;
+         f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, false, false, false,
+           false, false, NerFeatures.NgramOpts.default, 4, misc)(g))
+      if (!dict.containsKey(f)) dict.put(f, Integer.valueOf(dict.size))
+    assert(dict.containsKey("IS_TITLE|C") && dict.containsKey("C_ORDINAL|CpC") &&
+      dict.containsKey("0-POSITION|C") && dict.containsKey("BEGIN-SENT|C") &&
+      dict.containsKey("Dr|C")) // useFirstWord: the raw first word
+    val hash = new NerFeaturesFast.LongIntHash(dict.size)
+    dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
+    val scratch = new NerFeaturesFast.Scratch
+    for (pos <- words.indices; g <- 0 until 3) {
+      val slow = NerFeatures.featuresAt(toks, pos, Gazette.empty, false, false, false, false,
+        false, false, NerFeatures.NgramOpts.default, 4, misc)(g).map(f => dict.get(f).intValue).toSeq
+      val fast = NerFeaturesFast.idsAt(toks, pos, hash, scratch, Gazette.empty,
+        occPatterns = false, useDistSim = false, useTags = false, useTaggySeq = false,
+        reverse = false, parenMatching = false, ngram = NerFeatures.NgramOpts.default,
+        disjWidth = 4, misc = misc)(g).toSeq
+      assert(slow == fast, s"pos=$pos g=$g word=${words(pos)}")
+    }
+  }
+
   test("gazette features: fast path == string path; sloppy vs clean semantics") {
     import graft.text.WordShape
     val lines = Seq("PERSON Alice Johnson", "PERSON Dr. Carla Garcia",
