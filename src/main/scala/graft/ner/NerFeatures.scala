@@ -187,7 +187,9 @@ object NerFeatures {
     */
   final case class MiscOpts(useTitle: Boolean = false, usePosition: Boolean = false,
       useBeginSent: Boolean = false, useSymWordPairs: Boolean = false,
-      useFirstWord: Boolean = false, useOrdinal: Boolean = false)
+      useFirstWord: Boolean = false, useOrdinal: Boolean = false,
+      useMoreTags: Boolean = false, useEitherSideWord: Boolean = false,
+      useWordTag: Boolean = false, useEitherSideDisjunctive: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -352,6 +354,26 @@ object NerFeatures {
     if (misc.useOrdinal && isOrdinal(toks, loc)) {                   // (:947-959)
       g0.add("C_ORDINAL|C")
       if (isOrdinal(toks, loc - 1)) g0.add("PC_ORDINAL|C")
+    }
+    if (misc.useMoreTags) {                                          // (:767-769,927-929)
+      if (useDistSim) g0.add(dsGet(p) + "-" + cWord + "-PDISTSIM-CWORD|C")
+      g0.add(tagGS(p) + "-" + cWord + "-PTAG-CWORD|C")
+    }
+    if (misc.useEitherSideWord) {                                    // (:996-999)
+      g0.add(pWord + "-EW|C"); g0.add(nWord + "-EW|C")
+    }
+    if (misc.useWordTag) {                                           // (:1134-1138)
+      g0.add(cWord + "-" + tagGS(c) + "-W-T|C")
+      g0.add(cWord + "-" + tagGS(p) + "-W-PT|C")
+      g0.add(cWord + "-" + tagGS(nt) + "-W-NT|C")
+    }
+    if (misc.useEitherSideDisjunctive) {                             // (:1289-1293)
+      var ed = 1
+      while (ed <= disjWidth) {
+        g0.add(at(loc + ed).word + "-DISJWE|C")
+        g0.add(at(loc - ed).word + "-DISJWE|C")
+        ed += 1
+      }
     }
     // useGazettes (NERFeatureFactory.java:1211-1232): sloppy = feature on any
     // word hit; clean = feature only when the whole phrase matches around loc

@@ -270,6 +270,28 @@ object NerFeaturesFast {
         emit(h(h(FnvOffset, "C_ORDINAL"), suffixC))
         if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "PC_ORDINAL"), suffixC))
       }
+      if (misc.useMoreTags) {
+        if (useDistSim)
+          emit(h(h(h(hc(hDsGet(FnvOffset, p), '-'), cWord), "-PDISTSIM-CWORD"), suffixC))
+        emit(h(h(h(hc(hTagGS(FnvOffset, p), '-'), cWord), "-PTAG-CWORD"), suffixC))
+      }
+      if (misc.useEitherSideWord) {
+        emit(h(h(h(FnvOffset, pWord), "-EW"), suffixC))
+        emit(h(h(h(FnvOffset, nWord), "-EW"), suffixC))
+      }
+      if (misc.useWordTag) {
+        emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), c), "-W-T"), suffixC))
+        emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), p), "-W-PT"), suffixC))
+        emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), nt), "-W-NT"), suffixC))
+      }
+      if (misc.useEitherSideDisjunctive) {
+        var ed = 1
+        while (ed <= disjWidth) {
+          emit(h(h(h(FnvOffset, at(loc + ed).word), "-DISJWE"), suffixC))
+          emit(h(h(h(FnvOffset, at(loc - ed).word), "-DISJWE"), suffixC))
+          ed += 1
+        }
+      }
     }
     // useGazettes: hashes precomputed at gazette build (string path parity
     // pinned by FeatureParitySpec); emission point mirrors NerFeatures

@@ -90,7 +90,9 @@ object RefBinaryModel {
       val disjWidth = flags.fields.get("disjunctionWidth").collect { case i: Int => i }.getOrElse(4)
       def flag(n: String): Boolean = flags.fields.get(n).contains(true)
       val misc = NerFeatures.MiscOpts(flag("useTitle"), flag("usePosition"),
-        flag("useBeginSent"), flag("useSymWordPairs"), flag("useFirstWord"), flag("useOrdinal"))
+        flag("useBeginSent"), flag("useSymWordPairs"), flag("useFirstWord"), flag("useOrdinal"),
+        flag("useMoreTags"), flag("useEitherSideWord"), flag("useWordTag"),
+        flag("useEitherSideDisjunctive"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -148,16 +150,16 @@ object RefBinaryModel {
     // would silently drift scores instead of failing loudly)
     val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
       "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
-      "useMinimalAbbr", "useExtraTaggySequences", "useMoreTags", "useEitherSideWord",
+      "useMinimalAbbr", "useExtraTaggySequences",
       "useTypeSeqs3", "useTaggySequencesShapeInteraction", "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
-      "useNextSequences", "useDisjShape", "useWordTag",
+      "useNextSequences", "useDisjShape",
       "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences",
       "usePrevVB", "usePrevNextLemmas", "useNextVB",
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
       "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
       "useGENIA", "useFREQ", "useEntityTypeSequences",
-      "useEntityRule", "useEitherSideDisjunctive", "useChunkySequences",
+      "useEntityRule", "useChunkySequences",
       "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,

@@ -904,7 +904,9 @@ class RefBridgeSpec extends AnyFunSuite {
     // covered by unit goldens + path parity)
     val agreement = runOccTagLeg("/tmp/refmisc",
       Seq("-usePosition", "true", "-useBeginSent", "true", "-useSymWordPairs", "true",
-        "-useFirstWord", "true", "-useTitle", "true", "-useOrdinal", "true"),
+        "-useFirstWord", "true", "-useTitle", "true", "-useOrdinal", "true",
+        "-useMoreTags", "true", "-useEitherSideWord", "true", "-useWordTag", "true",
+        "-useEitherSideDisjunctive", "true"),
       reverseOurs = false, sigma = "5.0")
     assert(agreement >= 0.995, s"agreement $agreement")
   }

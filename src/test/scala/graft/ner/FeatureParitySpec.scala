@@ -133,9 +133,12 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(NerFeatures.isOrdinal(t2, 1), "'-' between two ordinals")
 
     val words = Vector("Dr", "Smith", "won", "3", "rd", "place", "twenty-first", ".")
-    val toks = toksOf(words: _*)
+    val tags = Vector("NNP", "NNP", "VB", "CD", "NN", "NN", "JJ", ".")
+    val toks = toksOf(words: _*).zip(tags).map { case (t, tg) => t.copy(tag = tg) }
     val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
-      useSymWordPairs = true, useFirstWord = true, useOrdinal = true)
+      useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
+      useMoreTags = true, useEitherSideWord = true, useWordTag = true,
+      useEitherSideDisjunctive = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, false, false, false,
@@ -144,6 +147,8 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.containsKey("IS_TITLE|C") && dict.containsKey("C_ORDINAL|CpC") &&
       dict.containsKey("0-POSITION|C") && dict.containsKey("BEGIN-SENT|C") &&
       dict.containsKey("Dr|C")) // useFirstWord: the raw first word
+    assert(dict.containsKey("Smith-NNP-W-T|C") && dict.containsKey("Dr-EW|C") &&
+      dict.containsKey("NNP-Smith-PTAG-CWORD|C") && dict.containsKey("Smith-DISJWE|C"))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
     val scratch = new NerFeaturesFast.Scratch
