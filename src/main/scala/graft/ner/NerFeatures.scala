@@ -189,7 +189,9 @@ object NerFeatures {
       useBeginSent: Boolean = false, useSymWordPairs: Boolean = false,
       useFirstWord: Boolean = false, useOrdinal: Boolean = false,
       useMoreTags: Boolean = false, useEitherSideWord: Boolean = false,
-      useWordTag: Boolean = false, useEitherSideDisjunctive: Boolean = false)
+      useWordTag: Boolean = false, useEitherSideDisjunctive: Boolean = false,
+      useExtraTaggySequences: Boolean = false, useTypeSeqs3: Boolean = false,
+      useTaggySequencesShapeInteraction: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -367,6 +369,17 @@ object NerFeatures {
       g0.add(cWord + "-" + tagGS(p) + "-W-PT|C")
       g0.add(cWord + "-" + tagGS(nt) + "-W-NT|C")
     }
+    if (misc.useExtraTaggySequences) {                               // (:1305-1314)
+      val p3 = at(loc - 3)
+      if (useTags) {
+        g0.add(tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-TTS|C")
+        g0.add(tagGS(p3) + "-" + tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-TTTS|C")
+      }
+      if (useDistSim) {
+        g0.add(dsGet(p2) + "-" + dsGet(p) + "-" + dsGet(c) + "-DISTSIM_TTS1|C")
+        g0.add(dsGet(p3) + "-" + dsGet(p2) + "-" + dsGet(p) + "-" + dsGet(c) + "-DISTSIM_TTTS1|C")
+      }
+    }
     if (misc.useEitherSideDisjunctive) {                             // (:1289-1293)
       var ed = 1
       while (ed <= disjWidth) {
@@ -417,6 +430,8 @@ object NerFeatures {
     g1.add(cShape + "-PSEQcS|CpC")
     g1.add(pShapeS + "-" + cShape + "-PSEQpcS|CpC")
     g1.add(pShapeS + "-" + cShape + "-TYPES|CpC")             // useTypeSeqs2 (:1571)
+    if (misc.useTypeSeqs3)                                     // useTypeSeqs3 (:1568-1570; n-shape via get)
+      g1.add(pShapeS + "-" + cShape + "-" + shapeGet(nt) + "-PCNSHAPES|CpC")
     g1.add(shapeGet(c) + "-TPS2|CpC")                         // useTypeySequences (:1576)
     g1.add(shapeGet(nt) + "-TNS1|CpC")
     if (useTaggySeq && useTags)                                // useTaggySequences (:1583)
@@ -433,8 +448,17 @@ object NerFeatures {
     val g2 = new java.util.LinkedHashSet[String]()
     g2.add("PPSEQ|CpCp2C")                                    // useLongSequences (:1796)
     if (pWord == Boundary) g2.add("BNDRY-SPAN-PPSEQ|CpCp2C")  // useBoundarySequences (:1799)
-    if (useTaggySeq && useTags)                                // useTaggySequences (:1812-1814)
+    if (useTaggySeq && useTags) {                              // useTaggySequences (:1812-1818)
       g2.add(tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-TTS|CpCp2C")
+      if (misc.useTaggySequencesShapeInteraction)
+        g2.add(tagGS(p2) + "-" + tagGS(p) + "-" + tagGS(c) + "-" + shapeGet(c) + "-TTS-CS|CpCp2C")
+    }
+    if (useTaggySeq && useDistSim) {                           // (:1819-1824) — round-3 audit:
+      // DISTSIM_TTS1 was MISSING for taggy+distsim models (no leg combined them)
+      g2.add(dsGet(p2) + "-" + dsGet(p) + "-" + dsGet(c) + "-DISTSIM_TTS1|CpCp2C")
+      if (misc.useTaggySequencesShapeInteraction)
+        g2.add(dsGet(p2) + "-" + dsGet(p) + "-" + dsGet(c) + "-" + shapeGet(c) + "-DISTSIM_TTS1-CS|CpCp2C")
+    }
     // useParenMatching on the Cp2C clique (:1669-1683): match at distance 2
     // only when distance 1 did NOT match (suffix |Cp2C — same factor group)
     if (parenMatching) {

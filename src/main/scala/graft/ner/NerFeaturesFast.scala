@@ -284,6 +284,17 @@ object NerFeaturesFast {
         emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), p), "-W-PT"), suffixC))
         emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), nt), "-W-NT"), suffixC))
       }
+      if (misc.useExtraTaggySequences) {
+        val p3 = at(loc - 3)
+        if (useTags) {
+          emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p2), '-'), p), '-'), c), "-TTS"), suffixC))
+          emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p3), '-'), p2), '-'), p), '-'), c), "-TTTS"), suffixC))
+        }
+        if (useDistSim) {
+          emit(h(h(hDsGet(hc(hDsGet(hc(hDsGet(FnvOffset, p2), '-'), p), '-'), c), "-DISTSIM_TTS1"), suffixC))
+          emit(h(h(hDsGet(hc(hDsGet(hc(hDsGet(hc(hDsGet(FnvOffset, p3), '-'), p2), '-'), p), '-'), c), "-DISTSIM_TTTS1"), suffixC))
+        }
+      }
       if (misc.useEitherSideDisjunctive) {
         var ed = 1
         while (ed <= disjWidth) {
@@ -338,6 +349,8 @@ object NerFeaturesFast {
     emit(h(h(h(FnvOffset, cShapeGS), "-PSEQcS"), suffixCpC))
     emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-PSEQpcS"), suffixCpC))
     emit(h(h(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), "-TYPES"), suffixCpC))
+    if (misc.useTypeSeqs3) // pShape(gs)-cShape(gs)-nShape(GET)-PCNSHAPES
+      emit(h(h(hShapeGet(hc(h(hc(h(FnvOffset, pShapeGS), '-'), cShapeGS), '-'), nt), "-PCNSHAPES"), suffixCpC))
     emit(h(h(hShapeGet(FnvOffset, c), "-TPS2"), suffixCpC))
     emit(h(h(hShapeGet(FnvOffset, nt), "-TNS1"), suffixCpC))
     if (useTaggySeq && useTags)
@@ -353,8 +366,18 @@ object NerFeaturesFast {
     hn = 0
     emit(h(h(FnvOffset, "PPSEQ"), suffixCpCp2C))
     if (pWord == NerFeatures.Boundary) emit(h(h(FnvOffset, "BNDRY-SPAN-PPSEQ"), suffixCpCp2C))
-    if (useTaggySeq && useTags)
-      emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p2), '-'), p), '-'), c), "-TTS"), suffixCpCp2C))
+    if (useTaggySeq && useTags) {
+      val tts = hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p2), '-'), p), '-'), c)
+      emit(h(h(tts, "-TTS"), suffixCpCp2C))
+      if (misc.useTaggySequencesShapeInteraction)
+        emit(h(h(hShapeGet(hc(tts, '-'), c), "-TTS-CS"), suffixCpCp2C))
+    }
+    if (useTaggySeq && useDistSim) { // DISTSIM_TTS1 (:1819-1824; was missing)
+      val dts = hDsGet(hc(hDsGet(hc(hDsGet(FnvOffset, p2), '-'), p), '-'), c)
+      emit(h(h(dts, "-DISTSIM_TTS1"), suffixCpCp2C))
+      if (misc.useTaggySequencesShapeInteraction)
+        emit(h(h(hShapeGet(hc(dts, '-'), c), "-DISTSIM_TTS1-CS"), suffixCpCp2C))
+    }
     if (parenMatching) {
       val hit = if (reverse)
         NerFeatures.isOpen(cWord) && NerFeatures.isClose(p2.word) && !NerFeatures.isClose(pWord)

@@ -92,7 +92,8 @@ object RefBinaryModel {
       val misc = NerFeatures.MiscOpts(flag("useTitle"), flag("usePosition"),
         flag("useBeginSent"), flag("useSymWordPairs"), flag("useFirstWord"), flag("useOrdinal"),
         flag("useMoreTags"), flag("useEitherSideWord"), flag("useWordTag"),
-        flag("useEitherSideDisjunctive"))
+        flag("useEitherSideDisjunctive"), flag("useExtraTaggySequences"),
+        flag("useTypeSeqs3"), flag("useTaggySequencesShapeInteraction"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -150,8 +151,8 @@ object RefBinaryModel {
     // would silently drift scores instead of failing loudly)
     val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
       "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
-      "useMinimalAbbr", "useExtraTaggySequences",
-      "useTypeSeqs3", "useTaggySequencesShapeInteraction", "useMinimalAbbr1",
+      "useMinimalAbbr",
+      "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
       "useNextSequences", "useDisjShape",
       "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences",

@@ -911,6 +911,27 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("TAGGY-EXTRAS differential: extraTaggy + typeSeqs3 + taggy-shape interaction + taggy-distsim") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // covers the round-3 audit gap (DISTSIM_TTS1 under useTaggySequences +
+    // useDistSim had no combined leg) plus the three newly supported flags
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    val lex = (firstNames.map(w => s"${w.toLowerCase} C_FIRST") ++
+      lastNames.take(12).map(w => s"${w.toLowerCase} C_LAST") ++
+      locations.map(w => s"${w.toLowerCase} C_CITY") ++
+      orgBases.take(10).map(w => s"${w.toLowerCase} C_ORG") ++
+      Seq("visited C_V", "hired C_V", "stayed C_V", "in C_P", "to C_P", "before C_P"))
+    Files.createDirectories(Paths.get("/tmp/reftaggyx"))
+    Files.writeString(Paths.get("/tmp/reftaggyx/distsim.txt"), lex.mkString("\n") + "\n")
+    val agreement = runOccTagLeg("/tmp/reftaggyx",
+      Seq("-useDistSim", "true", "-distSimLexicon", "/tmp/reftaggyx/distsim.txt",
+        "-useExtraTaggySequences", "true", "-useTypeSeqs3", "true",
+        "-useTaggySequencesShapeInteraction", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("CONJOIN+GREEKIFY differential: conjoinShapeNGrams + greekifyNGrams") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -134,14 +134,16 @@ class FeatureParitySpec extends AnyFunSuite {
 
     val words = Vector("Dr", "Smith", "won", "3", "rd", "place", "twenty-first", ".")
     val tags = Vector("NNP", "NNP", "VB", "CD", "NN", "NN", "JJ", ".")
-    val toks = toksOf(words: _*).zip(tags).map { case (t, tg) => t.copy(tag = tg) }
+    val toks = toksOf(words: _*).zip(tags).zipWithIndex.map { case ((t, tg), i) =>
+      t.copy(tag = tg, ds = if (i % 2 == 0) s"C_$i" else null) }
     val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
       useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
       useMoreTags = true, useEitherSideWord = true, useWordTag = true,
-      useEitherSideDisjunctive = true)
+      useEitherSideDisjunctive = true, useExtraTaggySequences = true,
+      useTypeSeqs3 = true, useTaggySequencesShapeInteraction = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
-         f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, false, false, false,
+         f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
            false, false, NerFeatures.NgramOpts.default, 4, misc)(g))
       if (!dict.containsKey(f)) dict.put(f, Integer.valueOf(dict.size))
     assert(dict.containsKey("IS_TITLE|C") && dict.containsKey("C_ORDINAL|CpC") &&
@@ -149,14 +151,20 @@ class FeatureParitySpec extends AnyFunSuite {
       dict.containsKey("Dr|C")) // useFirstWord: the raw first word
     assert(dict.containsKey("Smith-NNP-W-T|C") && dict.containsKey("Dr-EW|C") &&
       dict.containsKey("NNP-Smith-PTAG-CWORD|C") && dict.containsKey("Smith-DISJWE|C"))
+    // extra taggy (C clique), typeSeqs3 (CpC), taggy-shape interaction +
+    // the previously-missing DISTSIM_TTS1 (CpCp2C)
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-TTTS|C")))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-PCNSHAPES|CpC")))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-TTS-CS|CpCp2C")))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-DISTSIM_TTS1|CpCp2C")))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
     val scratch = new NerFeaturesFast.Scratch
     for (pos <- words.indices; g <- 0 until 3) {
-      val slow = NerFeatures.featuresAt(toks, pos, Gazette.empty, false, false, false, false,
+      val slow = NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
         false, false, NerFeatures.NgramOpts.default, 4, misc)(g).map(f => dict.get(f).intValue).toSeq
       val fast = NerFeaturesFast.idsAt(toks, pos, hash, scratch, Gazette.empty,
-        occPatterns = false, useDistSim = false, useTags = false, useTaggySeq = false,
+        occPatterns = false, useDistSim = true, useTags = true, useTaggySeq = true,
         reverse = false, parenMatching = false, ngram = NerFeatures.NgramOpts.default,
         disjWidth = 4, misc = misc)(g).toSeq
       assert(slow == fast, s"pos=$pos g=$g word=${words(pos)}")
