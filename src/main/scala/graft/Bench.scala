@@ -133,7 +133,14 @@ object Bench {
     */
   private def nerJob(spark: SparkSession, nConvs: Long, round: Int,
       ambientMax: Double, deadlineNanos: Long): Rep = {
-    val turns = Transcripts.synth(spark, nConvs).cache()
+    // Fixed FINE-GRAINED partitioning at every level (not 1 partition per
+    // thread): with one task per thread the slowest thread gates the level —
+    // SMT-sibling placement luck and per-partition skew produced a 0.78-0.92
+    // spread in the measured 2->8 efficiency across otherwise-clean runs.
+    // ~8-128 tasks per thread lets work stealing absorb both, and the work
+    // units are identical across levels (same job, same splits — exactly
+    // what N-vs-4N executors measures on a real cluster).
+    val turns = Transcripts.synth(spark, nConvs).repartition(256).cache()
     val nTurns = turns.count() // materialize input outside the timed window
     val model = NerModels.default(spark)
     val admitAmbient = Ambient.admit(ambientMax, deadlineNanos)
@@ -163,7 +170,11 @@ object Bench {
     // <3% of even the 4N-core wall time; small enough that 3 interleaved
     // rounds x 3 levels stay under ~3 min.
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "150000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    // 5 rounds: per-level throughput on this shared VM varies ~±15% between
+    // clean reps (turbo/cache/scheduling states), and the efficiency is a
+    // RATIO of two per-level bests — more samples per level converge each
+    // best toward the level's true ceiling before the ratio is taken
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
     // Ambient threshold: >2 cores of neighbor activity visibly skews the
     // 2-core level; the idle baseline on this box is ~0.1-0.3 cores.
     val ambientMax = sys.env.getOrElse("SPARK_GRAFT_AMBIENT_MAX", "2.0").toDouble

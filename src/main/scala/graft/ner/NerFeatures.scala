@@ -35,6 +35,8 @@ object NerFeatures {
 
   // POS-tag accessor, getString semantics (pad/absent -> "")
   @inline private def tagGS(t: Tok): String = if (t.tag == null) "" else t.tag
+  // POS-tag accessor, `get`/concat semantics (pad/absent -> the literal "null")
+  @inline private def tagGet(t: Tok): String = if (t.tag == null) "null" else t.tag
 
   // distsim accessors mirroring the reference's get vs getString semantics
   @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
@@ -191,7 +193,10 @@ object NerFeatures {
       useMoreTags: Boolean = false, useEitherSideWord: Boolean = false,
       useWordTag: Boolean = false, useEitherSideDisjunctive: Boolean = false,
       useExtraTaggySequences: Boolean = false, useTypeSeqs3: Boolean = false,
-      useTaggySequencesShapeInteraction: Boolean = false)
+      useTaggySequencesShapeInteraction: Boolean = false,
+      useSymTags: Boolean = false, usePrevVB: Boolean = false,
+      useNextVB: Boolean = false, useVB: Boolean = false,
+      useShapeConjunctions: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -368,6 +373,49 @@ object NerFeatures {
       g0.add(cWord + "-" + tagGS(c) + "-W-T|C")
       g0.add(cWord + "-" + tagGS(p) + "-W-PT|C")
       g0.add(cWord + "-" + tagGS(nt) + "-W-NT|C")
+    }
+    if (misc.useSymTags) {                                           // (:1006-1018)
+      if (useTags) {
+        g0.add(tagGS(p) + "-" + tagGS(c) + "-" + tagGS(nt) + "-PCNTAGS|C")
+        g0.add(tagGS(c) + "-" + tagGS(nt) + "-CNTAGS|C")
+        g0.add(tagGS(p) + "-" + tagGS(c) + "-PCTAGS|C")
+      }
+      if (useDistSim) {
+        g0.add(dsGet(p) + "-" + dsGet(c) + "-" + dsGet(nt) + "-PCNDISTSIM|C")
+        g0.add(dsGet(c) + "-" + dsGet(nt) + "-CNDISTSIM|C")
+        g0.add(dsGet(p) + "-" + dsGet(c) + "-PCDISTSIM|C")
+      }
+    }
+    // VB scans (:1088-1121): nearest VB-tagged word on each side, pad -> "X";
+    // useVB conjoins whatever the enabled scans produced ("" when disabled)
+    if (misc.usePrevVB || misc.useNextVB || misc.useVB) {
+      var prevVB = ""; var nextVB = ""
+      if (misc.usePrevVB) {
+        var j = loc - 1
+        var going = true
+        while (going) {
+          if (j < 0) { prevVB = "X"; g0.add("X-PVB|C"); going = false }
+          else if (tagGS(toks(j)).startsWith("VB")) {
+            prevVB = toks(j).word; g0.add(prevVB + "-PVB|C"); going = false
+          } else j -= 1
+        }
+      }
+      if (misc.useNextVB) {
+        var j = loc + 1
+        var going = true
+        while (going) {
+          if (j >= toks.length) { nextVB = "X"; g0.add("X-NVB|C"); going = false }
+          else if (tagGS(toks(j)).startsWith("VB")) {
+            nextVB = toks(j).word; g0.add(nextVB + "-NVB|C"); going = false
+          } else j += 1
+        }
+      }
+      if (misc.useVB) g0.add(prevVB + "-" + nextVB + "-PNVB|C")
+    }
+    if (misc.useShapeConjunctions) {                                 // (:1123-1132; no separators)
+      g0.add(loc + cShape + "-POS-SH|C")
+      if (useTags) g0.add(tagGet(c) + cShape + "-TAG-SH|C")
+      if (useDistSim) g0.add(dsGet(c) + cShape + "-DISTSIM-SH|C")
     }
     if (misc.useExtraTaggySequences) {                               // (:1305-1314)
       val p3 = at(loc - 3)

@@ -40,6 +40,9 @@ object NerFeaturesFast {
   // POS tag via `getString` semantics: absent -> ""
   @inline private def hTagGS(acc: Long, t: Tok): Long =
     if (t.tag == null) acc else h(acc, t.tag)
+  // POS tag via `get`/concat semantics: absent -> the literal "null"
+  @inline private def hTagGet(acc: Long, t: Tok): Long =
+    if (t.tag == null) h(acc, "null") else h(acc, t.tag)
 
   /** Open-address long->int map (power-of-two capacity, linear probing).
     * Empty slots marked by value == -1; key 0 is permitted.
@@ -283,6 +286,51 @@ object NerFeaturesFast {
         emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), c), "-W-T"), suffixC))
         emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), p), "-W-PT"), suffixC))
         emit(h(h(hTagGS(hc(h(FnvOffset, cWord), '-'), nt), "-W-NT"), suffixC))
+      }
+      if (misc.useSymTags) {
+        if (useTags) {
+          emit(h(h(hTagGS(hc(hTagGS(hc(hTagGS(FnvOffset, p), '-'), c), '-'), nt), "-PCNTAGS"), suffixC))
+          emit(h(h(hTagGS(hc(hTagGS(FnvOffset, c), '-'), nt), "-CNTAGS"), suffixC))
+          emit(h(h(hTagGS(hc(hTagGS(FnvOffset, p), '-'), c), "-PCTAGS"), suffixC))
+        }
+        if (useDistSim) {
+          emit(h(h(hDsGet(hc(hDsGet(hc(hDsGet(FnvOffset, p), '-'), c), '-'), nt), "-PCNDISTSIM"), suffixC))
+          emit(h(h(hDsGet(hc(hDsGet(FnvOffset, c), '-'), nt), "-CNDISTSIM"), suffixC))
+          emit(h(h(hDsGet(hc(hDsGet(FnvOffset, p), '-'), c), "-PCDISTSIM"), suffixC))
+        }
+      }
+      if (misc.usePrevVB || misc.useNextVB || misc.useVB) {
+        var prevVB = ""; var nextVB = ""
+        if (misc.usePrevVB) {
+          var j = loc - 1
+          var going = true
+          while (going) {
+            if (j < 0) { prevVB = "X"; emit(h(h(FnvOffset, "X-PVB"), suffixC)); going = false }
+            else if (toks(j).tag != null && toks(j).tag.startsWith("VB")) {
+              prevVB = toks(j).word
+              emit(h(h(h(FnvOffset, prevVB), "-PVB"), suffixC)); going = false
+            } else j -= 1
+          }
+        }
+        if (misc.useNextVB) {
+          var j = loc + 1
+          var going = true
+          while (going) {
+            if (j >= toks.length) { nextVB = "X"; emit(h(h(FnvOffset, "X-NVB"), suffixC)); going = false }
+            else if (toks(j).tag != null && toks(j).tag.startsWith("VB")) {
+              nextVB = toks(j).word
+              emit(h(h(h(FnvOffset, nextVB), "-NVB"), suffixC)); going = false
+            } else j += 1
+          }
+        }
+        if (misc.useVB)
+          emit(h(h(h(hc(h(FnvOffset, prevVB), '-'), nextVB), "-PNVB"), suffixC))
+      }
+      if (misc.useShapeConjunctions) {
+        val csh = if (c.shape == null) "" else c.shape
+        emit(h(h(h(h(FnvOffset, loc.toString), csh), "-POS-SH"), suffixC))
+        if (useTags) emit(h(h(h(hTagGet(FnvOffset, c), csh), "-TAG-SH"), suffixC))
+        if (useDistSim) emit(h(h(h(hDsGet(FnvOffset, c), csh), "-DISTSIM-SH"), suffixC))
       }
       if (misc.useExtraTaggySequences) {
         val p3 = at(loc - 3)

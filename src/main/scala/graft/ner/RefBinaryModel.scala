@@ -93,7 +93,9 @@ object RefBinaryModel {
         flag("useBeginSent"), flag("useSymWordPairs"), flag("useFirstWord"), flag("useOrdinal"),
         flag("useMoreTags"), flag("useEitherSideWord"), flag("useWordTag"),
         flag("useEitherSideDisjunctive"), flag("useExtraTaggySequences"),
-        flag("useTypeSeqs3"), flag("useTaggySequencesShapeInteraction"))
+        flag("useTypeSeqs3"), flag("useTaggySequencesShapeInteraction"),
+        flag("useSymTags"), flag("usePrevVB"), flag("useNextVB"), flag("useVB"),
+        flag("useShapeConjunctions"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -149,14 +151,14 @@ object RefBinaryModel {
     // engine does not emit and no certified preset sets - a model trained
     // with any of these has dictionary features we cannot produce, which
     // would silently drift scores instead of failing loudly)
-    val mustBeFalse = Seq("useABGENE", "useWEB", "useSymTags", "useShapeConjunctions",
+    val mustBeFalse = Seq("useABGENE", "useWEB",
       "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
       "useMinimalAbbr",
       "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
       "useNextSequences", "useDisjShape",
-      "useWEBFreqDict", "useVB", "useUnknown", "useURLSequences",
-      "usePrevVB", "usePrevNextLemmas", "useNextVB",
+      "useWEBFreqDict", "useUnknown", "useURLSequences",
+      "usePrevNextLemmas",
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
       "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
       "useGENIA", "useFREQ", "useEntityTypeSequences",

@@ -932,6 +932,24 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("SYMTAGS+VB differential: symTags + VB scans + shape conjunctions (with distsim)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    val lex = (firstNames.map(w => s"${w.toLowerCase} C_FIRST") ++
+      lastNames.take(12).map(w => s"${w.toLowerCase} C_LAST") ++
+      locations.map(w => s"${w.toLowerCase} C_CITY") ++
+      orgBases.take(10).map(w => s"${w.toLowerCase} C_ORG"))
+    Files.createDirectories(Paths.get("/tmp/refsymvb"))
+    Files.writeString(Paths.get("/tmp/refsymvb/distsim.txt"), lex.mkString("\n") + "\n")
+    val agreement = runOccTagLeg("/tmp/refsymvb",
+      Seq("-useDistSim", "true", "-distSimLexicon", "/tmp/refsymvb/distsim.txt",
+        "-useSymTags", "true", "-usePrevVB", "true", "-useNextVB", "true",
+        "-useVB", "true", "-useShapeConjunctions", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("CONJOIN+GREEKIFY differential: conjoinShapeNGrams + greekifyNGrams") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -140,7 +140,9 @@ class FeatureParitySpec extends AnyFunSuite {
       useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
       useMoreTags = true, useEitherSideWord = true, useWordTag = true,
       useEitherSideDisjunctive = true, useExtraTaggySequences = true,
-      useTypeSeqs3 = true, useTaggySequencesShapeInteraction = true)
+      useTypeSeqs3 = true, useTaggySequencesShapeInteraction = true,
+      useSymTags = true, usePrevVB = true, useNextVB = true, useVB = true,
+      useShapeConjunctions = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -157,6 +159,12 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-PCNSHAPES|CpC")))
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-TTS-CS|CpCp2C")))
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-DISTSIM_TTS1|CpCp2C")))
+    // symTags, VB scans (nearest VB each side; X at pads), shape conjunctions
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-PCNTAGS|C")))
+    assert(dict.containsKey("X-PVB|C") && dict.containsKey("won-PVB|C") &&
+      dict.containsKey("won-NVB|C") && dict.containsKey("X-NVB|C"))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-PNVB|C")))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-POS-SH|C")))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
     val scratch = new NerFeaturesFast.Scratch
