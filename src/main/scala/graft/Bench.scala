@@ -167,8 +167,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // ~675k turns: large enough that per-job scheduling overhead (~0.3s) is
-    // <3% of even the 4N-core wall time; small enough that 3 interleaved
-    // rounds x 3 levels stay under ~3 min.
+    // <3% of even the 4N-core wall time; small enough that 5 interleaved
+    // rounds x 3 levels stay under ~2 min on a quiet machine.
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "150000").toLong
     // 5 rounds: per-level throughput on this shared VM varies ~±15% between
     // clean reps (turbo/cache/scheduling states), and the efficiency is a
@@ -193,7 +193,12 @@ object Bench {
     // interleaved rounds: each round opens a fresh session per level and runs
     // the identical full-size job once.
     val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
-    for (round <- 0 until rounds; level <- levels) {
+    // round 0 always runs (every level needs at least one rep); later rounds
+    // respect the scaling budget so the clean-rep top-up below keeps some
+    // margin even when reps run slow (review finding: 5 ungated rounds could
+    // consume the whole budget before any top-up)
+    for (round <- 0 until rounds; level <- levels
+         if round == 0 || System.nanoTime() < deadline) {
       val s = session(level)
       if (round == 0 && level == levels.head) { // full-size JIT warmup, discarded
         nerJob(s, scaleConvs, round = -1, ambientMax, deadlineNanos = System.nanoTime())

@@ -351,16 +351,26 @@ object NerFeatures {
       d += 1
     }
     if (misc.useTitle && isTitleWord(cWord)) g0.add("IS_TITLE|C")   // (:776-781)
-    if (misc.usePosition) g0.add(loc + "-POSITION|C")                // (:931-933)
+    // PositionAnnotation is assigned BEFORE useReverse physically reverses
+    // the document (ObjectBankWrapper.doBasicStuff vs CRFClassifier reverse),
+    // so under reverse the position at reversed index i is n-1-i (review
+    // finding: the raw loc diverged for every token of reversed models)
+    val posIdx = if (reverse) toks.length - 1 - loc else loc
+    if (misc.usePosition) g0.add(posIdx + "-POSITION|C")             // (:931-933)
     if (misc.useBeginSent) {                                         // (:934-942)
-      if (loc == 0) { g0.add("BEGIN-SENT|C"); g0.add(cShape + "-BEGIN-SENT|C") }
+      if (posIdx == 0) { g0.add("BEGIN-SENT|C"); g0.add(cShape + "-BEGIN-SENT|C") }
       else { g0.add("IN-SENT|C"); g0.add(cShape + "-IN-SENT|C") }
     }
     if (misc.useSymWordPairs) g0.add(pWord + "-" + nWord + "-SWORDS|C") // (:1020-1022)
     if (misc.useFirstWord) g0.add(toks.headOption.map(_.word).getOrElse("") + "|C") // (:1168-1171)
-    if (misc.useOrdinal && isOrdinal(toks, loc)) {                   // (:947-959)
-      g0.add("C_ORDINAL|C")
-      if (isOrdinal(toks, loc - 1)) g0.add("PC_ORDINAL|C")
+    if (misc.useOrdinal) {                                           // (:947-959)
+      if (isOrdinal(toks, loc)) {
+        g0.add("C_ORDINAL|C")
+        if (isOrdinal(toks, loc - 1)) g0.add("PC_ORDINAL|C")
+      }
+      // review finding: P_ORDINAL fires on isOrdinal(loc-1) regardless of
+      // whether the current token is ordinal
+      if (isOrdinal(toks, loc - 1)) g0.add("P_ORDINAL|C")
     }
     if (misc.useMoreTags) {                                          // (:767-769,927-929)
       if (useDistSim) g0.add(dsGet(p) + "-" + cWord + "-PDISTSIM-CWORD|C")
@@ -413,7 +423,7 @@ object NerFeatures {
       if (misc.useVB) g0.add(prevVB + "-" + nextVB + "-PNVB|C")
     }
     if (misc.useShapeConjunctions) {                                 // (:1123-1132; no separators)
-      g0.add(loc + cShape + "-POS-SH|C")
+      g0.add(posIdx + cShape + "-POS-SH|C")
       if (useTags) g0.add(tagGet(c) + cShape + "-TAG-SH|C")
       if (useDistSim) g0.add(dsGet(c) + cShape + "-DISTSIM-SH|C")
     }
@@ -484,6 +494,9 @@ object NerFeatures {
     g1.add(shapeGet(nt) + "-TNS1|CpC")
     if (useTaggySeq && useTags)                                // useTaggySequences (:1583)
       g1.add(tagGS(p) + "-" + tagGS(c) + "-TS|CpC")
+    if (useTaggySeq && useDistSim)                             // (:1586-1587) — review finding:
+      // the CpC sibling of DISTSIM_TTS1 was missing for taggy+distsim models
+      g1.add(dsGet(p) + "-" + dsGet(c) + "-DISTSIM_TS1|CpC")
     // useParenMatching (:1591-1605): close paren at c with matching open at
     // p (roles flipped under reverse — the doc is physically reversed)
     if (parenMatching) {

@@ -253,11 +253,12 @@ object NerFeaturesFast {
       d += 1
     }
     if (misc != NerFeatures.MiscOpts.default) {
-      val cShapeMisc = if (c.shape == null) "" else c.shape
+      val cShapeMisc = cShapeGS
+      val posIdx = if (reverse) toks.length - 1 - loc else loc // pre-reverse position
       if (misc.useTitle && NerFeatures.isTitleWord(cWord)) emit(h(h(FnvOffset, "IS_TITLE"), suffixC))
-      if (misc.usePosition) emit(h(h(h(FnvOffset, loc.toString), "-POSITION"), suffixC))
+      if (misc.usePosition) emit(h(h(h(FnvOffset, posIdx.toString), "-POSITION"), suffixC))
       if (misc.useBeginSent) {
-        if (loc == 0) {
+        if (posIdx == 0) {
           emit(h(h(FnvOffset, "BEGIN-SENT"), suffixC))
           emit(h(h(h(FnvOffset, cShapeMisc), "-BEGIN-SENT"), suffixC))
         } else {
@@ -269,9 +270,12 @@ object NerFeaturesFast {
         emit(h(h(h(hc(h(FnvOffset, pWord), '-'), nWord), "-SWORDS"), suffixC))
       if (misc.useFirstWord)
         emit(h(h(FnvOffset, if (toks.nonEmpty) toks(0).word else ""), suffixC))
-      if (misc.useOrdinal && NerFeatures.isOrdinal(toks, loc)) {
-        emit(h(h(FnvOffset, "C_ORDINAL"), suffixC))
-        if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "PC_ORDINAL"), suffixC))
+      if (misc.useOrdinal) {
+        if (NerFeatures.isOrdinal(toks, loc)) {
+          emit(h(h(FnvOffset, "C_ORDINAL"), suffixC))
+          if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "PC_ORDINAL"), suffixC))
+        }
+        if (NerFeatures.isOrdinal(toks, loc - 1)) emit(h(h(FnvOffset, "P_ORDINAL"), suffixC))
       }
       if (misc.useMoreTags) {
         if (useDistSim)
@@ -327,10 +331,9 @@ object NerFeaturesFast {
           emit(h(h(h(hc(h(FnvOffset, prevVB), '-'), nextVB), "-PNVB"), suffixC))
       }
       if (misc.useShapeConjunctions) {
-        val csh = if (c.shape == null) "" else c.shape
-        emit(h(h(h(h(FnvOffset, loc.toString), csh), "-POS-SH"), suffixC))
-        if (useTags) emit(h(h(h(hTagGet(FnvOffset, c), csh), "-TAG-SH"), suffixC))
-        if (useDistSim) emit(h(h(h(hDsGet(FnvOffset, c), csh), "-DISTSIM-SH"), suffixC))
+        emit(h(h(h(h(FnvOffset, posIdx.toString), cShapeMisc), "-POS-SH"), suffixC))
+        if (useTags) emit(h(h(h(hTagGet(FnvOffset, c), cShapeMisc), "-TAG-SH"), suffixC))
+        if (useDistSim) emit(h(h(h(hDsGet(FnvOffset, c), cShapeMisc), "-DISTSIM-SH"), suffixC))
       }
       if (misc.useExtraTaggySequences) {
         val p3 = at(loc - 3)
@@ -403,6 +406,8 @@ object NerFeaturesFast {
     emit(h(h(hShapeGet(FnvOffset, nt), "-TNS1"), suffixCpC))
     if (useTaggySeq && useTags)
       emit(h(h(hTagGS(hc(hTagGS(FnvOffset, p), '-'), c), "-TS"), suffixCpC))
+    if (useTaggySeq && useDistSim) // DISTSIM_TS1 (:1586-1587; was missing)
+      emit(h(h(hDsGet(hc(hDsGet(FnvOffset, p), '-'), c), "-DISTSIM_TS1"), suffixCpC))
     if (parenMatching) {
       val hit = if (reverse) NerFeatures.isOpen(cWord) && NerFeatures.isClose(pWord)
                 else NerFeatures.isClose(cWord) && NerFeatures.isOpen(pWord)

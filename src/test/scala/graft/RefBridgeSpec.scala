@@ -950,6 +950,19 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("REVERSED-POSITION differential: position/beginSent/shapeConjunctions under useReverse") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // PositionAnnotation is assigned BEFORE the document is physically
+    // reversed, so position-derived features must use n-1-loc under reverse
+    // (review finding) — this leg pins that combination
+    val agreement = runOccTagLeg("/tmp/refrevpos",
+      Seq("-useReverse", "true", "-usePosition", "true", "-useBeginSent", "true",
+        "-useShapeConjunctions", "true"),
+      reverseOurs = true, sigma = "2.0") // its optimizer NaNs at 5 here
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("CONJOIN+GREEKIFY differential: conjoinShapeNGrams + greekifyNGrams") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

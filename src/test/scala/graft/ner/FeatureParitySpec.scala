@@ -164,6 +164,7 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.containsKey("X-PVB|C") && dict.containsKey("won-PVB|C") &&
       dict.containsKey("won-NVB|C") && dict.containsKey("X-NVB|C"))
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-PNVB|C")))
+    assert(dict.containsKey("P_ORDINAL|C"), "P_ORDINAL fires on prev-ordinal alone")
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-POS-SH|C")))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
