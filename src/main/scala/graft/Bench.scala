@@ -28,8 +28,15 @@ import scala.jdk.CollectionConverters._
   * Defenses, in order:
   *   - ADMISSION: before each rep, sample ambient for 0.5s; if above the
   *     threshold (default 2.0 cores), sleep and resample within a wall budget;
-  *   - MEASUREMENT: ambient is sampled across each rep's timed window; a rep
-  *     is `clean` iff ambient-during <= threshold;
+  *   - MEASUREMENT: ambient is sampled across each rep's timed window, AND
+  *     (round 4) the rep's own JVM CPU-seconds are recorded; a rep is `clean`
+  *     iff ambient-during <= threshold AND its utilization
+  *     selfCpuSec/(cores*wall) is within utilFrac of its LEVEL's best (and
+  *     above an absolute floor) AND selfCpuSec <= cpuSlack x the level's
+  *     best selfCpuSec. The r3 driver run proved the ambient probe alone is
+  *     blind to host-level interference and iowait stalls (a 138 s rep at
+  *     2 cores read ambient 0.00); the JVM's own CPU accounting catches
+  *     every such mode without needing to see the neighbors at all;
   *   - TOP-UP: after the interleaved rounds, levels short of 2 clean reps get
   *     extra admission-gated reps until clean or the budget expires;
   *   - SELECTION: per-level best-of over CLEAN reps when every level has one
@@ -124,8 +131,49 @@ object Bench {
     s
   }
 
+  /** `ambientClean` is the neighbor-visible gate (ambient probe during the
+    * rep); `selfCpuSec`/`util` feed the SELF-REFERENTIAL gate evaluated
+    * post-hoc in `cleanReps`: the r3 driver run proved the ambient probe blind
+    * to interference that never shows as guest busy ticks (host-level CPU /
+    * memory-bandwidth contention, iowait stalls) — a 138 s rep at 2 cores
+    * passed as "clean, ambient 0.00". The JVM's own CPU-seconds see every one
+    * of those modes: stolen/blocked time drops util far below 1.0, and
+    * frequency throttling / bandwidth stalls inflate CPU-seconds vs the
+    * level's best.
+    */
   final case class Rep(cores: Int, round: Int, turns: Long, sec: Double, gcSec: Double,
-      load: Double, admitAmbient: Double, ambientDuring: Double, clean: Boolean)
+      load: Double, admitAmbient: Double, ambientDuring: Double, ambientClean: Boolean,
+      selfCpuSec: Double) {
+    def util: Double = if (sec > 0) selfCpuSec / (cores * sec) else 0.0
+  }
+
+  /** Final clean flags over the CURRENT rep pool: a rep is clean iff
+    *   (a) ambient stayed under the threshold during it (the r2/r3 gate),
+    *   (b) its own CPU utilization selfCpuSec/(cores*wall) is within
+    *       utilFrac of the BEST utilization any rep of its level reached —
+    *       a rep slowed by host interference or I/O stalls is on-CPU for
+    *       only a fraction of its wall window. The comparison must be
+    *       LEVEL-RELATIVE, not absolute: healthy utilization is ~1.3 at
+    *       2 cores (GC/driver threads run beside the 2 task threads) but
+    *       well under 1.0 at 32 (ramp + scheduling gaps) — measured on this
+    *       VM's own smoke runs. A loose absolute floor backstops the case
+    *       where EVERY rep of a level was interfered, and
+    *   (c) its CPU-seconds are within cpuSlack x the MINIMUM CPU-seconds of
+    *       its level — the same job at the same level burns ~constant CPU
+    *       when healthy, so inflated CPU-seconds mean frequency throttling
+    *       or memory-bandwidth contention even when util looks fine.
+    * (b) and (c) are relative to the pool, so flags are recomputed as reps
+    * accumulate.
+    */
+  private def cleanFlags(reps: Seq[Rep], utilFrac: Double, utilFloor: Double,
+      cpuSlack: Double): Seq[Boolean] = {
+    val byLevel = reps.groupBy(_.cores)
+    val bestCpu = byLevel.map { case (l, rs) => l -> rs.map(_.selfCpuSec).min }
+    val bestUtil = byLevel.map { case (l, rs) => l -> rs.map(_.util).max }
+    reps.map(r => r.ambientClean &&
+      r.util >= utilFrac * bestUtil(r.cores) && r.util >= utilFloor &&
+      r.selfCpuSec <= cpuSlack * bestCpu(r.cores))
+  }
 
   /** Tag + extract triples over nConvs synthetic conversations. The triple
     * count flows through an `observe()` Observation (SURVEY §2.6 last row:
@@ -152,15 +200,19 @@ object Bench {
     val nTriples = KgPipeline.triples(turns, model).toDF()
       .observe(obs, count(lit(1)).as("n_triples")).count()
     val sec = (System.nanoTime() - t0) / 1e9
-    val ambientDuring = Ambient.between(a0, Ambient.sample())
+    val a1 = Ambient.sample()
+    val ambientDuring = Ambient.between(a0, a1)
     val gcSec = (gcMillis - gc0) / 1e3
     val nTriplesObserved = obs.get.apply("n_triples").asInstanceOf[Long]
     val cores = spark.sparkContext.defaultParallelism
-    val clean = ambientDuring >= 0 && ambientDuring <= ambientMax
-    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples observed=$nTriplesObserved cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f ambient=$ambientDuring%.2f clean=$clean tput=${nTurns / sec}%.0f")
+    val ambientClean = ambientDuring >= 0 && ambientDuring <= ambientMax
+    val selfCpuSec =
+      if (a0.selfTicks >= 0 && a1.selfTicks >= 0) (a1.selfTicks - a0.selfTicks) / 100.0 else -1.0
+    val util = if (sec > 0) selfCpuSec / (cores * sec) else 0.0
+    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples observed=$nTriplesObserved cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f ambient=$ambientDuring%.2f ambientClean=$ambientClean selfCpu=$selfCpuSec%.1f util=$util%.2f tput=${nTurns / sec}%.0f")
     turns.unpersist(blocking = true)
     System.gc() // keep reps independent of prior reps' garbage
-    Rep(cores, round, nTurns, sec, gcSec, load, admitAmbient, ambientDuring, clean)
+    Rep(cores, round, nTurns, sec, gcSec, load, admitAmbient, ambientDuring, ambientClean, selfCpuSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -207,22 +259,40 @@ object Bench {
       reps += nerJob(s, scaleConvs, round, ambientMax, deadline)
       s.stop()
     }
+    // Self-referential gate knobs (see cleanFlags): the fractions are
+    // relative to each level's own best, so no per-level calibration needed.
+    // utilFrac 0.6: clean-rep util spread on this VM is ~±25% within a
+    // level; the r3 interference modes ran at 7-25% of the level's best.
+    // utilFloor 0.15 backstops an all-interfered level (healthy levels sit
+    // at 0.33+ even for sub-second 32-thread jobs).
+    val utilFrac = sys.env.getOrElse("SPARK_GRAFT_UTIL_FRAC", "0.6").toDouble
+    val utilFloor = sys.env.getOrElse("SPARK_GRAFT_UTIL_FLOOR", "0.15").toDouble
+    val cpuSlack = sys.env.getOrElse("SPARK_GRAFT_CPU_SLACK", "1.5").toDouble
+    def cleanCount(level: Int): Int = {
+      val flags = cleanFlags(reps.toSeq, utilFrac, utilFloor, cpuSlack)
+      reps.indices.count(i => reps(i).cores == level && flags(i))
+    }
     // Top-up: levels short of clean reps get extra admission-gated attempts,
-    // round-robin, while the budget lasts.
+    // round-robin, while the budget lasts; the round cap backstops a level
+    // that can never satisfy the gate (so one sick criterion cannot eat the
+    // entire budget re-running a single level — smoke-run finding).
     var topUpRound = rounds
-    var deficient = levels.filter(l => reps.count(r => r.cores == l && r.clean) < minCleanPerLevel)
-    while (deficient.nonEmpty && System.nanoTime() < deadline) {
+    val maxTopUpRounds = rounds * 4
+    var deficient = levels.filter(l => cleanCount(l) < minCleanPerLevel)
+    while (deficient.nonEmpty && topUpRound < maxTopUpRounds && System.nanoTime() < deadline) {
       for (level <- deficient if System.nanoTime() < deadline) {
         val s = session(level)
         reps += nerJob(s, scaleConvs, topUpRound, ambientMax, deadline)
         s.stop()
       }
       topUpRound += 1
-      deficient = levels.filter(l => reps.count(r => r.cores == l && r.clean) < minCleanPerLevel)
+      deficient = levels.filter(l => cleanCount(l) < minCleanPerLevel)
     }
 
+    val finalFlags = cleanFlags(reps.toSeq, utilFrac, utilFloor, cpuSlack)
+    val cleanReps = reps.indices.filter(finalFlags).map(reps(_))
     val byLevel = levels.map(l => l -> reps.filter(_.cores == l))
-    val cleanByLevel = levels.map(l => l -> reps.filter(r => r.cores == l && r.clean)).toMap
+    val cleanByLevel = levels.map(l => l -> cleanReps.filter(_.cores == l)).toMap
     val allLevelsClean = levels.forall(l => cleanByLevel(l).nonEmpty)
     // best-of over clean reps when every level has one; the clean subset is
     // what an idle machine would have produced (ambient measured DURING the
@@ -241,8 +311,8 @@ object Bench {
     val cleanCounts = levels.map(l => cleanByLevel(l).size)
     val fullyClean = cleanCounts.forall(_ >= minCleanPerLevel)
     val suspect = !fullyClean || varianceRatio > 3.0 || (cgroupCpus > 0 && cgroupCpus < cpus)
-    val repsJson = reps.map(r =>
-      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"clean":${r.clean}}""")
+    val repsJson = reps.zip(finalFlags).map { case (r, cl) =>
+      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"self_cpu_sec":${r.selfCpuSec}%.1f,"util":${r.util}%.3f,"clean":$cl}""" }
       .mkString("[", ",", "]")
 
     // ---- training-at-scale bench: distributed dictionary + Ehat + L-BFGS
@@ -274,8 +344,19 @@ object Bench {
       val t0 = System.nanoTime()
       val m = graft.train.Trainer.train(spark, docs, graft.train.Trainer.Config(maxIterations = 40))
       val sec = (System.nanoTime() - t0) / 1e9
-      val amb = Ambient.between(a0, Ambient.sample())
-      val attemptClean = amb >= 0 && amb <= ambientMax
+      val a1 = Ambient.sample()
+      val amb = Ambient.between(a0, a1)
+      // Training interleaves parallel treeAggregate passes with genuine
+      // single-threaded driver work (Breeze two-loop recursion, line search),
+      // so its healthy utilization sits well below the scaling reps'
+      // (~0.38 measured at 32 cores); with single attempts there is no
+      // level-relative baseline, so a loose absolute floor catches gross
+      // interference only (a train stalled 3x+ runs under ~0.13).
+      val trainUtilMin = sys.env.getOrElse("SPARK_GRAFT_TRAIN_UTIL_MIN", "0.2").toDouble
+      val trainUtil =
+        if (a0.selfTicks >= 0 && a1.selfTicks >= 0 && sec > 0)
+          (a1.selfTicks - a0.selfTicks) / 100.0 / (cpus * sec) else -1.0
+      val attemptClean = amb >= 0 && amb <= ambientMax && trainUtil >= trainUtilMin
       // best-of over CLEAN attempts only (same selection rule as the scaling
       // reps); a dirty attempt's time may stand in only while no clean one
       // exists, and then the reported train_clean stays false
@@ -296,7 +377,7 @@ object Bench {
         }
         heldoutAcc = ok.toDouble / tot
       }
-      System.err.println(f"[bench] train attempt=$attempt convs=$trainConvs docs=$nDocs sec=$sec%.1f ambient=$amb%.2f clean=$trainClean features=${m.numFeatures} heldoutAcc=$heldoutAcc%.5f")
+      System.err.println(f"[bench] train attempt=$attempt convs=$trainConvs docs=$nDocs sec=$sec%.1f ambient=$amb%.2f util=$trainUtil%.2f clean=$trainClean features=${m.numFeatures} heldoutAcc=$heldoutAcc%.5f")
       attempt += 1
     }
 
@@ -327,13 +408,21 @@ object Bench {
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         (sec, Ambient.between(a0, Ambient.sample()))
       }
+      // best-of-2 unconditionally (plus an admission-gated third when the
+      // ambient probe saw neighbor load): r3's q04 "regression" was a single
+      // polluted rep the ambient gate could not see; a per-query best-of is
+      // the same defense the scaling reps get, at ~15s total cost.
       val (s1, amb1) = once()
-      val sec =
-        if (s1 >= 0 && amb1 > ambientMax && System.nanoTime() < queryDeadline) {
-          Ambient.admit(ambientMax, queryDeadline)
-          val (s2, _) = once()
-          if (s2 >= 0) math.min(s1, s2) else s1
-        } else s1
+      val (s2, amb2) = if (s1 >= 0 && System.nanoTime() < queryDeadline) once() else (-1.0, -1.0)
+      var sec = Seq(s1, s2).filter(_ >= 0) match {
+        case Nil => -1.0
+        case xs  => xs.min
+      }
+      if (sec >= 0 && math.max(amb1, amb2) > ambientMax && System.nanoTime() < queryDeadline) {
+        Ambient.admit(ambientMax, queryDeadline)
+        val (s3, _) = once()
+        if (s3 >= 0) sec = math.min(sec, s3)
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -346,9 +435,9 @@ object Bench {
       f""""train_features":$trainFeat,"train_heldout_acc":$heldoutAcc%.5f,""" +
       f""""train_ambient":$trainAmbient%.2f,"train_clean":$trainClean,""" +
       f""""suspect":$suspect,"rep_variance_ratio":$varianceRatio%.2f,"ambient_load_min":$ambientLoad%.2f,""" +
-      f""""ambient_max_cores":$ambientMax%.1f,"clean_reps":[${cleanCounts.mkString(",")}],""" +
+      f""""ambient_max_cores":$ambientMax%.1f,"util_frac":$utilFrac%.2f,"util_floor":$utilFloor%.2f,"cpu_slack":$cpuSlack%.2f,"clean_reps":[${cleanCounts.mkString(",")}],""" +
       f""""cgroup_cpus":$cgroupCpus%.1f,"jvm_cpus":${Runtime.getRuntime.availableProcessors},"reps":$repsJson,""" +
-      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat) and marked clean iff ambient stayed under the threshold DURING the rep; best-of over clean reps; 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""
+      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat); a rep is clean iff ambient stayed under threshold DURING it AND its own JVM utilization selfCpuSec/(cores*wall) is within util_frac of its level's best (and >= util_floor) AND its CPU-seconds are within cpu_slack x its level's best (the self-referential gate: catches host-level interference, iowait stalls and throttling the ambient probe is blind to; level-RELATIVE because healthy utilization varies by level, ~1.3 at 2 cores to ~0.4 at 32); best-of over clean reps; 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()

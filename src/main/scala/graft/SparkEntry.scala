@@ -252,30 +252,37 @@ object SparkEntry {
     // through the REAL file-based reader path (wholetext scan + record fold),
     // so the oracle (documents in doc_id order) certifies the whole
     // write -> scan -> record-split round trip =====
+    // the fixture corpus is written DISTRIBUTED (write.text streams each
+    // row straight to the file; round-3 review: the old collect() + driver
+    // Files.writeString materialized every document in driver memory). One
+    // sorted partition keeps the byte layout identical to the single-file
+    // original — record_idx must equal global doc_id order, which a
+    // multi-file layout cannot guarantee without encoding file order.
     "q39_delimited_records" -> ((s, d) => {
-      import s.implicits._
-      val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
-      if (texts.isEmpty) s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
+      if (t(s, d, "documents").isEmpty)
+        s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
       else {
         val dir = java.nio.file.Files.createTempDirectory("graft_delim_")
-        java.nio.file.Files.writeString(dir.resolve("corpus.txt"),
-          texts.mkString("-DOCSTART-\n", "\n-DOCSTART-\n", "\n"))
-        graft.sources.RecordIterators.readDelimited(s, dir.toString, "\\n?-DOCSTART-\\n")
+        t(s, d, "documents")
+          .select(col("doc_id"), concat(lit("-DOCSTART-\n"), col("text")).as("value"))
+          .repartition(1).sortWithinPartitions(col("doc_id")).select(col("value"))
+          .write.mode("overwrite").text(s"$dir/corpus")
+        graft.sources.RecordIterators.readDelimited(s, s"$dir/corpus", "\\n?-DOCSTART-\\n")
           .select(col("record_idx"), col("record"))
       }
     }),
     "q40_xml_records" -> ((s, d) => {
-      import s.implicits._
-      val texts = t(s, d, "documents").select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).as[(Long, String)].collect().map(_._2)
-      if (texts.isEmpty) s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
+      if (t(s, d, "documents").isEmpty)
+        s.createDataFrame(Seq.empty[(Int, String)]).toDF("record_idx", "record")
       else {
         val dir = java.nio.file.Files.createTempDirectory("graft_xml_")
         // noise elements + free text between records must be skipped
-        java.nio.file.Files.writeString(dir.resolve("corpus.xml"),
-          texts.map(t => s"<doc>$t</doc>\n<meta>skip me</meta>\nloose text\n").mkString)
-        graft.sources.RecordIterators.readXmlElements(s, dir.toString, "doc")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("<doc>"), col("text"), lit("</doc>\n<meta>skip me</meta>\nloose text")).as("value"))
+          .repartition(1).sortWithinPartitions(col("doc_id")).select(col("value"))
+          .write.mode("overwrite").text(s"$dir/corpus")
+        graft.sources.RecordIterators.readXmlElements(s, s"$dir/corpus", "doc")
           .select(col("record_idx"), col("record"))
       }
     })

@@ -196,7 +196,8 @@ object NerFeatures {
       useTaggySequencesShapeInteraction: Boolean = false,
       useSymTags: Boolean = false, usePrevVB: Boolean = false,
       useNextVB: Boolean = false, useVB: Boolean = false,
-      useShapeConjunctions: Boolean = false)
+      useShapeConjunctions: Boolean = false,
+      useNextSequences: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -462,7 +463,7 @@ object NerFeatures {
       })
     }
 
-    // ---- group 1: CpC (CnC inactive: useNextSequences off) ----
+    // ---- group 1: CpC (+ the folded CnC family under useNextSequences) ----
     val g1 = new java.util.LinkedHashSet[String]()
     if (misc.useOrdinal) {                                           // (:1519-1529)
       if (isOrdinal(toks, loc)) {
@@ -504,6 +505,17 @@ object NerFeatures {
                 else isClose(cWord) && isOpen(pWord)
       if (hit) g1.add("PAREN-MATCH|CpC")
     }
+    // useNextSequences: the reference's CnC "next clique" folds into the CpC
+    // FACTOR — getCliqueFeatures(loc, cliqueCpC) also calls
+    // featuresCnC(cInfo, loc-1) suffixed "|CnC" (NERFeatureFactory.java:
+    // 433-437,1917-1930). The label window of CnC at loc-1 = {loc-1, loc} =
+    // exactly CpC's at loc, so these are plain extra feature strings in the
+    // same factor, with the word read at the SHIFTED position loc-1 (the
+    // reference passes loc-1 and reads cInfo.get(loc); getString pad -> "").
+    if (misc.useNextSequences) {
+      g1.add("NSEQ|CnC")
+      g1.add(pWord + "-NSEQW|CnC")
+    }
 
     // ---- group 2: Cp2C (empty under preset) + CpCp2C ----
     val g2 = new java.util.LinkedHashSet[String]()
@@ -530,6 +542,15 @@ object NerFeatures {
       if (hit) g2.add("PAREN-MATCH|Cp2C")
     }
     g2.add(shapeGet(p2) + "-" + shapeGet(p) + "-" + shapeGet(c) + "-TYPETYPES|CpCp2C") // (:1827)
+    // useNextSequences: featuresCpCnC(cInfo, loc-1) folds into the CpCp2C
+    // factor (labels {loc-2..loc} ⊇ CpCnC's {loc-2, loc-1, loc} read at
+    // loc-1), suffixed "|CpCnC" (:469-473,1933-1946); gated in the reference
+    // by usePrev && useNext && useSequences && usePrevSequences too, all of
+    // which our certified presets hold true
+    if (misc.useNextSequences) {
+      g2.add("PNSEQ|CpCnC")
+      g2.add(pWord + "-PNSEQW|CpCnC")
+    }
 
     Array(g0.toArray(new Array[String](g0.size)),
           g1.toArray(new Array[String](g1.size)),

@@ -140,6 +140,10 @@ object NerFeaturesFast {
 
   private val hParenCpC = fnv("PAREN-MATCH|CpC")
   private val hParenCp2C = fnv("PAREN-MATCH|Cp2C")
+  private val suffixCnC = "|CnC"
+  private val suffixCpCnC = "|CpCnC"
+  private val hNseq = fnv("NSEQ|CnC")
+  private val hPnseq = fnv("PNSEQ|CpCnC")
 
   def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
       gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
@@ -413,6 +417,10 @@ object NerFeaturesFast {
                 else NerFeatures.isClose(cWord) && NerFeatures.isOpen(pWord)
       if (hit) emit(hParenCpC)
     }
+    if (misc.useNextSequences) { // folded CnC family (word at loc-1), "|CnC"
+      emit(hNseq)
+      emit(h(h(h(FnvOffset, pWord), "-NSEQW"), suffixCnC))
+    }
     val g1n = resolve(1, dict, scratch, hn)
 
     // ---- group 2: CpCp2C ----
@@ -439,6 +447,10 @@ object NerFeaturesFast {
       if (hit) emit(hParenCp2C)
     }
     emit(h(h(hShapeGet(hc(hShapeGet(hc(hShapeGet(FnvOffset, p2), '-'), p), '-'), c), "-TYPETYPES"), suffixCpCp2C))
+    if (misc.useNextSequences) { // folded CpCnC family (word at loc-1), "|CpCnC"
+      emit(hPnseq)
+      emit(h(h(h(FnvOffset, pWord), "-PNSEQW"), suffixCpCnC))
+    }
     val g2n = resolve(2, dict, scratch, hn)
 
     Array(

@@ -95,7 +95,7 @@ object RefBinaryModel {
         flag("useEitherSideDisjunctive"), flag("useExtraTaggySequences"),
         flag("useTypeSeqs3"), flag("useTaggySequencesShapeInteraction"),
         flag("useSymTags"), flag("usePrevVB"), flag("useNextVB"), flag("useVB"),
-        flag("useShapeConjunctions"))
+        flag("useShapeConjunctions"), flag("useNextSequences"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -156,7 +156,7 @@ object RefBinaryModel {
       "useMinimalAbbr",
       "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
-      "useNextSequences", "useDisjShape",
+      "useDisjShape",
       "useWEBFreqDict", "useUnknown", "useURLSequences",
       "usePrevNextLemmas",
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",

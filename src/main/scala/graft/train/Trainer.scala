@@ -93,6 +93,18 @@ object Trainer {
       // (deterministic tie-break: lexicographic) — a documented deviation,
       // default off = reference-faithful unbounded.
       maxKnownLCWords: Int = Int.MaxValue,
+      // Frequency floor on the feature dictionary: keep a (group, feature)
+      // only when it occurs at >= this many positions across the corpus.
+      // The reference DECLARES this flag (SeqClassifierFlags.java:339,
+      // featureCountThreshold, parsed at :1121-1122) but the Jan-2009 source
+      // never consumes it — here it is the scale lever for the one remaining
+      // driver OOM: featureIndex is a driver collect() (mirroring the
+      // reference's in-RAM Index, CRFClassifier.java:381-501), and a 100 TB
+      // corpus has 10^8-10^9 distinct feature strings. With a floor the
+      // count-and-filter runs DISTRIBUTED and only survivors reach the
+      // driver; long-tail hapax features (the overwhelming majority by Zipf)
+      // never leave the executors. <= 1 (default) = reference-faithful keep-all.
+      featureCountThreshold: Int = 0,
       // Processed-data artifact (the reference's save/load of featurized
       // corpora, CRFClassifier.java:972-985,1254-1292): when set, the first
       // train() run persists the encoded corpus + dictionary metadata here
@@ -161,7 +173,7 @@ object Trainer {
       dsHash, gazHash, cfg.maxKnownLCWords,
       cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
       cfg.ngramOpts.dehyphenate, cfg.ngramOpts.greekify, cfg.ngramOpts.conjoinShapes,
-      cfg.disjunctionWidth, cfg.miscOpts).mkString("|")
+      cfg.disjunctionWidth, cfg.miscOpts, cfg.featureCountThreshold).mkString("|")
   }
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
@@ -262,13 +274,24 @@ object Trainer {
     val sorted: Array[(Int, String)] =
       if (loadedMeta.isDefined) loadedMeta.get.features
       else if (!cfg.removeBackgroundSingletonFeatures) {
-        docs.flatMap { d =>
+        val pairs = docs.flatMap { d =>
           val toks = withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags)
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
           }
-        }.distinct().collect().sortBy(t => (t._1, t._2))
+        }
+        if (cfg.featureCountThreshold <= 1) pairs.distinct().collect().sortBy(t => (t._1, t._2))
+        else {
+          // frequency floor, evaluated distributed (partial aggregation
+          // map-side); only surviving features are collected
+          import org.apache.spark.sql.functions.{col, count, lit}
+          pairs.toDF("g", "f").groupBy(col("g"), col("f"))
+            .agg(count(lit(1)).as("n"))
+            .where(col("n") >= cfg.featureCountThreshold)
+            .select(col("g"), col("f")).as[(Int, String)]
+            .collect().sortBy(t => (t._1, t._2))
+        }
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
@@ -289,6 +312,7 @@ object Trainer {
           .agg(sum(when(col("is_bg"), 0L).otherwise(1L)).as("n_fg"),
             sum(when(col("is_bg"), 1L).otherwise(0L)).as("n_bg"))
           .where(col("g") >= 2 || col("n_fg") >= 1 || col("n_bg") >= 2)
+          .where(col("n_fg") + col("n_bg") >= math.max(1, cfg.featureCountThreshold))
           .select(col("g"), col("f")).as[(Int, String)]
           .collect().sortBy(t => (t._1, t._2))
       }

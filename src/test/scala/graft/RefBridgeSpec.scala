@@ -984,6 +984,19 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("NEXT-SEQUENCES differential: CnC/CpCnC next-clique folding (useNextSequences)") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // the reference's only remaining factor-structure feature family:
+    // getCliqueFeatures folds featuresCnC(loc-1) into the CpC factor and
+    // featuresCpCnC(loc-1) into the CpCp2C factor (NERFeatureFactory.java:
+    // 433-437,469-473) — NSEQ/NSEQW|CnC and PNSEQ/PNSEQW|CpCnC with the word
+    // read at the shifted position. Round-3 loaders REJECTED this flag.
+    val agreement = runOccTagLeg("/tmp/refnextseq",
+      Seq("-useNextSequences", "true"), reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

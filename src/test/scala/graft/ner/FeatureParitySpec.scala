@@ -142,7 +142,7 @@ class FeatureParitySpec extends AnyFunSuite {
       useEitherSideDisjunctive = true, useExtraTaggySequences = true,
       useTypeSeqs3 = true, useTaggySequencesShapeInteraction = true,
       useSymTags = true, usePrevVB = true, useNextVB = true, useVB = true,
-      useShapeConjunctions = true)
+      useShapeConjunctions = true, useNextSequences = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -166,6 +166,10 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-PNVB|C")))
     assert(dict.containsKey("P_ORDINAL|C"), "P_ORDINAL fires on prev-ordinal alone")
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-POS-SH|C")))
+    // useNextSequences: CnC folded into CpC (word at loc-1), CpCnC into CpCp2C
+    assert(dict.containsKey("NSEQ|CnC") && dict.containsKey("Dr-NSEQW|CnC") &&
+      dict.containsKey("-NSEQW|CnC"), "pad word at loc-1 reads as empty (getString)")
+    assert(dict.containsKey("PNSEQ|CpCnC") && dict.containsKey("Smith-PNSEQW|CpCnC"))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
     val scratch = new NerFeaturesFast.Scratch

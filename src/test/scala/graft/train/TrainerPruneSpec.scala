@@ -162,6 +162,44 @@ class TrainerPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("featureCountThreshold: distributed frequency floor keeps accuracy, bounds the dictionary") {
+    import spark.implicits._
+    // hand corpus: hapax word 'zzqx' appears once -> its ngram/C features fall
+    // under a floor of 2; 'zzqy' appears twice -> kept
+    val docs = Seq(
+      LabeledDoc(Seq("zzqx", "Alice"), Seq("O", "PERSON")),
+      LabeledDoc(Seq("zzqy", "Bob"), Seq("O", "PERSON")),
+      LabeledDoc(Seq("zzqy", "Carol"), Seq("O", "PERSON"))).toDS()
+    val m = Trainer.train(spark, docs,
+      Trainer.Config(maxIterations = 3, featureCountThreshold = 2))
+    assert(!m.featureIndex.containsKey("#<zzqx>#|C"), "hapax feature must fall under the floor")
+    assert(m.featureIndex.containsKey("#<zzqy>#|C"), "twice-seen feature must survive")
+    assert(m.featureIndex.containsKey("PSEQ|CpC"), "constant features occur everywhere")
+
+    // floor composes with removeBackgroundSingletonFeatures (total-count floor
+    // applied on top of the fg/bg rule)
+    val mBoth = Trainer.train(spark, docs, Trainer.Config(maxIterations = 3,
+      featureCountThreshold = 2, removeBackgroundSingletonFeatures = true))
+    assert(!mBoth.featureIndex.containsKey("#<zzqx>#|C"))
+
+    // on a real corpus: the dictionary shrinks, held-out accuracy holds, and
+    // the floor-off path is byte-identical to before (default untouched)
+    val base = Trainer.train(spark, goldDocs(150), Trainer.Config(maxIterations = 60))
+    val floored = Trainer.train(spark, goldDocs(150),
+      Trainer.Config(maxIterations = 60, featureCountThreshold = 3))
+    info(s"dictionary: ${base.numFeatures} -> ${floored.numFeatures} with featureCountThreshold=3")
+    assert(floored.numFeatures < base.numFeatures)
+    var ok = 0L; var total = 0L
+    for (conv <- 5000L until 5100L; t <- 0 until Transcripts.numTurns(21L, conv)
+         if !Transcripts.isToolTurn(21L, conv, t)) {
+      val (words, labels) = Transcripts.turnTokens(21L, conv, t)
+      val got = floored.tag(words)
+      for (i <- words.indices) { if (got(i) == labels(i)) ok += 1; total += 1 }
+    }
+    info(f"held-out acc with floor = ${ok.toDouble / total}%.4f over $total tokens")
+    assert(ok.toDouble / total >= 0.95)
+  }
+
   test("maxKnownLCWords caps the driver-side vocabulary at the most frequent words") {
     // knownLCWords is model state the reference grows unboundedly; at web
     // scale it is the first driver OOM, so Config.maxKnownLCWords applies a
