@@ -171,8 +171,11 @@ object Bench {
     val bestCpu = byLevel.map { case (l, rs) => l -> rs.map(_.selfCpuSec).min }
     val bestUtil = byLevel.map { case (l, rs) => l -> rs.map(_.util).max }
     reps.map(r => r.ambientClean &&
-      r.util >= utilFrac * bestUtil(r.cores) && r.util >= utilFloor &&
-      r.selfCpuSec <= cpuSlack * bestCpu(r.cores))
+      // /proc unreadable -> selfCpuSec -1: degrade to the ambient-only gate
+      // rather than marking every rep dirty
+      (r.selfCpuSec < 0 ||
+        (r.util >= utilFrac * bestUtil(r.cores) && r.util >= utilFloor &&
+          r.selfCpuSec <= cpuSlack * bestCpu(r.cores))))
   }
 
   /** Tag + extract triples over nConvs synthetic conversations. The triple

@@ -246,6 +246,41 @@ object SparkEntry {
         .orderBy(col("n").desc, col("shape"))
     }),
 
+    // ===== q41: the CRF math itself under the driver's hash gate =====
+    // A reduced-dictionary CRF (word + dan2-shape unary features; PSEQ +
+    // shape-pair transition features — all four SQL-expressible) whose
+    // weights derive deterministically from splitmix64(fnv(feature) ^
+    // col-mix), tags every document's token stream through the REAL engine
+    // path (NerModel.tag -> featuresAt/idsAt -> Crf.logPotentials ->
+    // Crf.viterbi). The oracle reproduces the whole thing — feature strings,
+    // weight derivation, factor sums, and the Viterbi forward-max with
+    // first-index tie-breaks — in ONE DuckDB statement (the q26 unrolling
+    // idea, with the per-position recursion as a recursive CTE carrying the
+    // DP vector and best paths as lists). Unseen-feature dropping makes the
+    // dictionary immaterial to the oracle: both sides emit features for the
+    // same corpus, so membership coincides by construction.
+    "q41_crf_viterbi" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+        .as[(Long, Seq[String])]
+      // dictionary from the corpus: vocabulary-sized driver collect, same
+      // shape as the reference's in-RAM Index (CRFClassifier.java:381-501)
+      val words = docs.flatMap(_._2).distinct().collect().sorted
+      val shapes = words.map(w => graft.text.WordShape.dan2NoLC(w)).distinct.sorted
+      val pairs = docs.flatMap { case (_, tk) =>
+        tk.indices.iterator.map { i =>
+          val p = if (i == 0) "" else graft.text.WordShape.dan2NoLC(tk(i - 1))
+          (p, graft.text.WordShape.dan2NoLC(tk(i)))
+        }
+      }.distinct().collect().sorted
+      val model = hashCrfModel(words, shapes, pairs)
+      val bc = s.sparkContext.broadcast(model)
+      docs.flatMap { case (id, tk) =>
+        val tags = bc.value.tag(tk.toIndexedSeq)
+        tk.indices.map(i => (id, i, tk(i), tags(i)))
+      }.toDF("doc_id", "pos", "token", "tag")
+    }),
+
     // ===== ObjectBank record-iterator sources (reference objectbank/
     // DelimitRegExIterator.java, XMLBeginEndIterator.java): a deterministic
     // corpus file is synthesized from the documents table, then read back
@@ -291,6 +326,44 @@ object SparkEntry {
   private implicit class SeqToDF(private val rows: Seq[(String, String)]) {
     def toDF(s: SparkSession)(c1: String, c2: String): DataFrame =
       s.createDataFrame(rows).toDF(c1, c2)
+  }
+
+  // ---- q41 model: deterministic hash-derived CRF weights ----
+  /** Weight of `feature` in label-window column `col`: splitmix64 of the
+    * feature's FNV-1a hash xored with a per-column mix, mapped to [-1, 1).
+    * Every operation (wrap-around multiply/add, xor, >>> , exact power-of-two
+    * division, *2-1) is bit-identical between JVM doubles and DuckDB's —
+    * that is what lets the oracle derive the SAME weights with no dictionary.
+    */
+  private[graft] def hashWeight(feature: String, col: Int): Double = {
+    val h = graft.ops.Hashing.splitmix64(
+      graft.ops.Hashing.fnv1a64(feature) ^ (0x9e3779b97f4a7c15L * (col + 1)))
+    ((h >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0
+  }
+
+  /** 3-class (O/LOC/PER), windowSize-3, full-product-layout CRF whose
+    * dictionary holds exactly: `w-WORD|C` per distinct (fixed) word,
+    * `s-TYPE|C` per distinct dan2 shape, `PSEQ|CpC`, and `ps-cs-TYPES|CpC`
+    * per observed adjacent shape pair ("" = boundary, getString semantics).
+    * All other features the engine emits hash-miss and drop — the
+    * reference's own unseen-feature rule (CRFClassifier.java:200-207).
+    */
+  private def hashCrfModel(words: Array[String], shapes: Array[String],
+      pairs: Array[(String, String)]): graft.ner.NerModel = {
+    val g0 = words.map(w => graft.text.WordShape.fixWord(w) + "-WORD|C") ++
+      shapes.map(_ + "-TYPE|C")
+    val g1 = Array("PSEQ|CpC") ++ pairs.map { case (p, c) => s"$p-$c-TYPES|CpC" }
+    val feats: Array[(String, Int)] = (g0.map((_, 0)) ++ g1.map((_, 1))).distinct
+    val featureIndex = new java.util.HashMap[String, Integer](feats.length * 2)
+    val featGroup = new Array[Int](feats.length)
+    val weights = new Array[Array[Double]](feats.length)
+    for (((f, g), id) <- feats.zipWithIndex) {
+      featureIndex.put(f, Integer.valueOf(id))
+      featGroup(id) = g
+      weights(id) = Array.tabulate(graft.core.Crf.pow(3, g + 1))(c => hashWeight(f, c))
+    }
+    new graft.ner.NerModel(Array("O", "LOC", "PER"), 0, featureIndex,
+      graft.train.WeightLayout.fullProduct(3, 3, 0, featGroup), weights, Set.empty)
   }
 
   // ---- DuckDB oracles ----
@@ -434,7 +507,91 @@ object SparkEntry {
     s"hyper(t, b, w) AS (VALUES ${rows.mkString(",")})"
   }
 
+  /** dan2UseLC shape of a string column (same formula as the q38 oracle:
+    * char-class map with the '_'→x rule, run-collapse via list_reduce, the
+    * leading-'~' lastM quirk, :len suffix; knownLCWords empty → no 'k').
+    */
+  private def dan2Sql(c: String): String =
+    s"""'WT-' || regexp_replace(list_reduce(
+       |      list_transform(string_split($c, ''), ch ->
+       |        CASE WHEN ch BETWEEN '0' AND '9' THEN 'd'
+       |             WHEN (ch BETWEEN 'a' AND 'z') OR ch = '_' THEN 'x'
+       |             WHEN ch BETWEEN 'A' AND 'Z' THEN 'X'
+       |             ELSE ch END),
+       |      (a, ch) -> CASE WHEN right(a, 1) = ch THEN a ELSE a || ch END), '^~', '') ||
+       |    CASE WHEN length($c) <= 3 THEN ':' || length($c) ELSE '' END""".stripMargin
+
+  /** Full CRF-Viterbi oracle (q41): feature strings -> hash-derived weights
+    * (fnv + per-column golden-ratio mix + splitmix64 -> [-1,1) double, the
+    * EXACT formula of `hashWeight`) -> per-position 9-entry (prev,cur)
+    * potential lists -> the Viterbi forward max as a recursive CTE carrying
+    * the DP score vector and the best label paths, with the engine's
+    * first-index tie order (strict-> comparisons; CASE chains keep the first
+    * maximum). Numeric parity is BIT-exact, not approximate: both sides add
+    * the same doubles in the same association order (u=(wWORD+wTYPE),
+    * tr=(wPSEQ+wTYPES), psi=u+tr, path=((psi1+psi2)+psi3)...).
+    */
+  private val crfViterbiOracleSql: String = {
+    val golden = 0x9e3779b97f4a7c15L
+    def mixRows(n: Int): String =
+      (0 until n).map(c => s"($c,${java.lang.Long.toUnsignedString(golden * (c + 1))}::HUGEINT)")
+        .mkString(",")
+    val pseqRows = (0 until 9).map(c => s"($c,${hashWeight("PSEQ|CpC", c)})").mkString(",")
+    def cand(pp: Int, l: Int) = s"(v.scores[${pp + 1}] + p.pot9[${pp * 3 + l + 1}])"
+    def bestVal(l: Int) = s"greatest(${cand(0, l)}, ${cand(1, l)}, ${cand(2, l)})"
+    def bestPath(l: Int) =
+      s"(CASE WHEN ${cand(0, l)} >= ${cand(1, l)} AND ${cand(0, l)} >= ${cand(2, l)} THEN v.paths[1] " +
+        s"WHEN ${cand(1, l)} >= ${cand(2, l)} THEN v.paths[2] ELSE v.paths[3] END || [$l])"
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
+       |posn AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM tok),
+       |wrow AS (SELECT doc_id, i, t[i] AS w, len(t) AS n FROM posn),
+       |shp AS (SELECT doc_id, i, w, n, ${dan2Sql("w")} AS s FROM wrow),
+       |pshp AS (SELECT doc_id, i, w, n, s,
+       |    coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY i), '') AS ps FROM shp),
+       |hbase AS (SELECT doc_id, i, n,
+       |    ${fnvSql("w || '-WORD|C'")} hw,
+       |    ${fnvSql("s || '-TYPE|C'")} hs,
+       |    ${fnvSql("ps || '-' || s || '-TYPES|CpC'")} ht FROM pshp),
+       |mixu(col, mx) AS (VALUES ${mixRows(3)}),
+       |mixt(col, mx) AS (VALUES ${mixRows(9)}),
+       |pseqw(col, pw) AS (VALUES $pseqRows),
+       |hx AS (
+       |  SELECT doc_id, i, 'u' kind, col, xor(hw, mx) x FROM hbase, mixu
+       |  UNION ALL SELECT doc_id, i, 'u', col, xor(hs, mx) FROM hbase, mixu
+       |  UNION ALL SELECT doc_id, i, 't', col, xor(ht, mx) FROM hbase, mixt),
+       |sm1 AS (SELECT doc_id, i, kind, col, (x + 11400714819323198485) % $M64::HUGEINT z1 FROM hx),
+       |sm2 AS (SELECT doc_id, i, kind, col, ${umul64("xor(z1, z1 // 1073741824)", 0xbf58476d1ce4e5b9L)} z2 FROM sm1),
+       |sm3 AS (SELECT doc_id, i, kind, col, ${umul64("xor(z2, z2 // 134217728)", 0x94d049bb133111ebL)} z3 FROM sm2),
+       |wv AS (SELECT doc_id, i, kind, col,
+       |    ((xor(z3, z3 // 2147483648) // 2048)::DOUBLE / 9007199254740992.0) * 2.0 - 1.0 wt FROM sm3),
+       |uac AS (SELECT doc_id, i, col, sum(wt) u FROM wv WHERE kind = 'u' GROUP BY 1, 2, 3),
+       |tac AS (SELECT doc_id, i, col, pq.pw + wt tr FROM wv JOIN pseqw pq USING (col) WHERE kind = 't'),
+       |p9 AS (SELECT t.doc_id, t.i, t.col, u.u + t.tr pot
+       |  FROM tac t JOIN uac u ON u.doc_id = t.doc_id AND u.i = t.i AND u.col = t.col % 3),
+       |pots AS (SELECT p9.doc_id, p9.i, any_value(hbase.n) n, list(pot ORDER BY col) pot9
+       |  FROM p9 JOIN hbase ON hbase.doc_id = p9.doc_id AND hbase.i = p9.i
+       |  GROUP BY p9.doc_id, p9.i),
+       |vit AS (
+       |  SELECT doc_id, i, n, [pot9[1], pot9[2], pot9[3]] scores,
+       |    [[0], [1], [2]] paths
+       |  FROM pots WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.doc_id, p.i, p.n,
+       |    [${bestVal(0)}, ${bestVal(1)}, ${bestVal(2)}],
+       |    [${bestPath(0)}, ${bestPath(1)}, ${bestPath(2)}]
+       |  FROM vit v JOIN pots p ON p.doc_id = v.doc_id AND p.i = v.i + 1),
+       |fin AS (SELECT doc_id,
+       |    CASE WHEN scores[1] >= scores[2] AND scores[1] >= scores[3] THEN paths[1]
+       |         WHEN scores[2] >= scores[3] THEN paths[2] ELSE paths[3] END path
+       |  FROM vit WHERE i = n)
+       |SELECT w.doc_id, CAST(w.i - 1 AS INT) AS pos, w.w AS token,
+       |  CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOC' ELSE 'PER' END AS tag
+       |FROM wrow w JOIN fin f USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
