@@ -261,24 +261,31 @@ object SparkEntry {
     // same corpus, so membership coincides by construction.
     "q41_crf_viterbi" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-        .as[(Long, Seq[String])]
-      // dictionary from the corpus: vocabulary-sized driver collect, same
-      // shape as the reference's in-RAM Index (CRFClassifier.java:381-501)
-      val words = docs.flatMap(_._2).distinct().collect().sorted
-      val shapes = words.map(w => graft.text.WordShape.dan2NoLC(w)).distinct.sorted
-      val pairs = docs.flatMap { case (_, tk) =>
-        tk.indices.iterator.map { i =>
-          val p = if (i == 0) "" else graft.text.WordShape.dan2NoLC(tk(i - 1))
-          (p, graft.text.WordShape.dan2NoLC(tk(i)))
-        }
-      }.distinct().collect().sorted
-      val model = hashCrfModel(words, shapes, pairs)
-      val bc = s.sparkContext.broadcast(model)
+      val (docs, bc) = hashCrfOver(s, d)
       docs.flatMap { case (id, tk) =>
         val tags = bc.value.tag(tk.toIndexedSeq)
         tk.indices.map(i => (id, i, tk(i), tags(i)))
       }.toDF("doc_id", "pos", "token", "tag")
+    }),
+    // q42: the REAL span fold (Tagger.spansOfSentence — the seed of every
+    // KG mention/triple) over the q41 hash-CRF tags, with invertible char
+    // offsets into a deterministic single-space join of the tokens; the
+    // oracle reproduces tags + offsets + the label-change/type-adjacency
+    // segmentation in SQL (gaps-and-islands over consecutive equal tags)
+    "q42_crf_spans" -> ((s, d) => {
+      import s.implicits._
+      val (docs, bc) = hashCrfOver(s, d)
+      docs.flatMap { case (id, tk) =>
+        val tags = bc.value.tag(tk.toIndexedSeq)
+        val text = tk.mkString(" ")
+        var off = 0
+        val raws = tk.map { w =>
+          val b = off; off += w.length + 1; graft.text.RawToken(w, b, b + w.length)
+        }
+        graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
+            tags.toIndexedSeq, text, "O")
+          .map(m => (id, m.etype, m.begin_char, m.end_char, m.surface))
+      }.toDF("doc_id", "etype", "begin_char", "end_char", "surface")
     }),
 
     // ===== ObjectBank record-iterator sources (reference objectbank/
@@ -339,6 +346,28 @@ object SparkEntry {
     val h = graft.ops.Hashing.splitmix64(
       graft.ops.Hashing.fnv1a64(feature) ^ (0x9e3779b97f4a7c15L * (col + 1)))
     ((h >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0
+  }
+
+  /** Tokenized documents + the broadcast hash-CRF over their vocabulary
+    * (shared by q41/q42). The dictionary build is a vocabulary-sized driver
+    * collect, same shape as the reference's in-RAM Index
+    * (CRFClassifier.java:381-501).
+    */
+  private def hashCrfOver(s: SparkSession, d: String): (
+      org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]) = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+      .as[(Long, Seq[String])]
+    val words = docs.flatMap(_._2).distinct().collect().sorted
+    val shapes = words.map(w => graft.text.WordShape.dan2NoLC(w)).distinct.sorted
+    val pairs = docs.flatMap { case (_, tk) =>
+      tk.indices.iterator.map { i =>
+        val p = if (i == 0) "" else graft.text.WordShape.dan2NoLC(tk(i - 1))
+        (p, graft.text.WordShape.dan2NoLC(tk(i)))
+      }
+    }.distinct().collect().sorted
+    (docs, s.sparkContext.broadcast(hashCrfModel(words, shapes, pairs)))
   }
 
   /** 3-class (O/LOC/PER), windowSize-3, full-product-layout CRF whose
@@ -531,7 +560,11 @@ object SparkEntry {
     * the same doubles in the same association order (u=(wWORD+wTYPE),
     * tr=(wPSEQ+wTYPES), psi=u+tr, path=((psi1+psi2)+psi3)...).
     */
-  private val crfViterbiOracleSql: String = {
+  /** The shared CRF-tag CTE chain (everything up to a per-token `tags`
+    * relation `(doc_id, i, w, tag)`), used by the q41 (tags) and q42 (spans)
+    * oracles.
+    */
+  private val crfTagsCtes: String = {
     val golden = 0x9e3779b97f4a7c15L
     def mixRows(n: Int): String =
       (0 until n).map(c => s"($c,${java.lang.Long.toUnsignedString(golden * (c + 1))}::HUGEINT)")
@@ -584,14 +617,42 @@ object SparkEntry {
        |fin AS (SELECT doc_id,
        |    CASE WHEN scores[1] >= scores[2] AND scores[1] >= scores[3] THEN paths[1]
        |         WHEN scores[2] >= scores[3] THEN paths[2] ELSE paths[3] END path
-       |  FROM vit WHERE i = n)
-       |SELECT w.doc_id, CAST(w.i - 1 AS INT) AS pos, w.w AS token,
-       |  CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOC' ELSE 'PER' END AS tag
-       |FROM wrow w JOIN fin f USING (doc_id)""".stripMargin
+       |  FROM vit WHERE i = n),
+       |tags AS (SELECT w.doc_id, w.i, w.w,
+       |    CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOC' ELSE 'PER' END AS tag
+       |  FROM wrow w JOIN fin f USING (doc_id))""".stripMargin
   }
+
+  private val crfViterbiOracleSql: String =
+    s"""$crfTagsCtes
+       |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS token, tag FROM tags""".stripMargin
+
+  /** q42: the span-extraction fold (classifyToCharacterOffsets label-change
+    * segmentation, AbstractSequenceClassifier.java:487-512 — consecutive
+    * EQUAL non-background labels merge; any label change splits, including
+    * between two entity types; entity at end of doc flushes) over the q41
+    * tags, with char offsets into the deterministic single-space-joined
+    * text (begin = prefix sum of token lengths + gaps — the engine side
+    * computes the same offsets and runs the REAL Tagger.spansOfSentence).
+    */
+  private val crfSpansOracleSql: String =
+    s"""$crfTagsCtes,
+       |offs AS (SELECT doc_id, i, w, tag,
+       |    CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
+       |  FROM tags),
+       |runs AS (SELECT doc_id, i, w, tag, b,
+       |    i - row_number() OVER (PARTITION BY doc_id, tag ORDER BY i) AS grp
+       |  FROM offs WHERE tag != 'O')
+       |SELECT doc_id, tag AS etype,
+       |  CAST(min(b) AS INT) AS begin_char,
+       |  CAST(max(b + length(w)) AS INT) AS end_char,
+       |  array_to_string(list(w ORDER BY i), ' ') AS surface
+       |FROM runs GROUP BY doc_id, tag, grp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
+    "q42_crf_spans" -> crfSpansOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,

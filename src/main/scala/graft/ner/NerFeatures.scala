@@ -197,7 +197,13 @@ object NerFeatures {
       useSymTags: Boolean = false, usePrevVB: Boolean = false,
       useNextVB: Boolean = false, useVB: Boolean = false,
       useShapeConjunctions: Boolean = false,
-      useNextSequences: Boolean = false)
+      useNextSequences: Boolean = false,
+      // the three remaining self-contained disjunctive variants
+      // (NERFeatureFactory.java:1272-1277 interaction, :1282-1287 wide,
+      // :1295-1302 shapes; default useInternal&&useExternal branch)
+      useWideDisjunctive: Boolean = false, wideDisjunctionWidth: Int = 4,
+      useDisjShape: Boolean = false,
+      useDisjunctiveShapeInteraction: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -345,11 +351,31 @@ object NerFeatures {
     // loc+jump WITHOUT reverse() (:1998) while its neighbors use reverse().
     // All paths verified differentially (no-tags, tagged, tagged+reverse).
     if (occPatterns) occurrenceFeatures(toks, loc, reverse, g0.add(_))
-    var d = 1                                // useDisjunctive, width from flags (:1267-1279)
+    var d = 1                                // useDisjunctive, width from flags (:1267-1280)
     while (d <= disjWidth) {
       g0.add(at(loc + d).word + "-DISJN|C")
+      if (misc.useDisjunctiveShapeInteraction)      // (:1272-1273; cShape getString)
+        g0.add(at(loc + d).word + "-" + cShape + "-DISJN-CS|C")
       g0.add(at(loc - d).word + "-DISJP|C")
+      if (misc.useDisjunctiveShapeInteraction)      // (:1276-1277)
+        g0.add(at(loc - d).word + "-" + cShape + "-DISJP-CS|C")
       d += 1
+    }
+    if (misc.useWideDisjunctive) {                  // (:1282-1287; own width flag)
+      var wd = 1
+      while (wd <= misc.wideDisjunctionWidth) {
+        g0.add(at(loc + wd).word + "-DISJWN|C")
+        g0.add(at(loc - wd).word + "-DISJWP|C")
+        wd += 1
+      }
+    }
+    if (misc.useDisjShape) {                        // (:1295-1302; the PREV sides are
+      var ds = 1                                    // commented out in the reference)
+      while (ds <= disjWidth) {
+        g0.add(shapeGet(at(loc + ds)) + "-NDISJSHAPE|C")         // get -> "null" pads
+        g0.add(cShape + "-" + shapeGet(at(loc + ds)) + "-CNDISJSHAPE|C")
+        ds += 1
+      }
     }
     if (misc.useTitle && isTitleWord(cWord)) g0.add("IS_TITLE|C")   // (:776-781)
     // PositionAnnotation is assigned BEFORE useReverse physically reverses

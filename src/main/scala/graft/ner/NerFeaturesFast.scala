@@ -253,8 +253,28 @@ object NerFeaturesFast {
     var d = 1
     while (d <= disjWidth) {
       emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
+      if (misc.useDisjunctiveShapeInteraction)
+        emit(h(h(h(hc(h(FnvOffset, at(loc + d).word), '-'), cShapeGS), "-DISJN-CS"), suffixC))
       emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
+      if (misc.useDisjunctiveShapeInteraction)
+        emit(h(h(h(hc(h(FnvOffset, at(loc - d).word), '-'), cShapeGS), "-DISJP-CS"), suffixC))
       d += 1
+    }
+    if (misc.useWideDisjunctive) {
+      var wd = 1
+      while (wd <= misc.wideDisjunctionWidth) {
+        emit(h(h(h(FnvOffset, at(loc + wd).word), "-DISJWN"), suffixC))
+        emit(h(h(h(FnvOffset, at(loc - wd).word), "-DISJWP"), suffixC))
+        wd += 1
+      }
+    }
+    if (misc.useDisjShape) {
+      var ds = 1
+      while (ds <= disjWidth) {
+        emit(h(h(hShapeGet(FnvOffset, at(loc + ds)), "-NDISJSHAPE"), suffixC))
+        emit(h(h(hShapeGet(hc(h(FnvOffset, cShapeGS), '-'), at(loc + ds)), "-CNDISJSHAPE"), suffixC))
+        ds += 1
+      }
     }
     if (misc != NerFeatures.MiscOpts.default) {
       val cShapeMisc = cShapeGS

@@ -389,7 +389,7 @@ object NerModel {
       if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
       if (m.miscOpts != NerFeatures.MiscOpts.default) {
         val mo = m.miscOpts
-        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\n")
+        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\n")
       }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
@@ -460,7 +460,8 @@ object NerModel {
           val p = line.split("\t")
           def b(i: Int) = p.length > i && p(i).toBoolean
           misc = NerFeatures.MiscOpts(b(1), b(2), b(3), b(4), b(5), b(6), b(7), b(8), b(9), b(10),
-            b(11), b(12), b(13), b(14), b(15), b(16), b(17), b(18), b(19))
+            b(11), b(12), b(13), b(14), b(15), b(16), b(17), b(18), b(19),
+            b(20), if (p.length > 21) p(21).toInt else 4, b(22), b(23))
         }
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")

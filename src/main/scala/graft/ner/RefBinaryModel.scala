@@ -95,7 +95,10 @@ object RefBinaryModel {
         flag("useEitherSideDisjunctive"), flag("useExtraTaggySequences"),
         flag("useTypeSeqs3"), flag("useTaggySequencesShapeInteraction"),
         flag("useSymTags"), flag("usePrevVB"), flag("useNextVB"), flag("useVB"),
-        flag("useShapeConjunctions"), flag("useNextSequences"))
+        flag("useShapeConjunctions"), flag("useNextSequences"),
+        flag("useWideDisjunctive"),
+        flags.fields.get("wideDisjunctionWidth").collect { case i: Int => i }.getOrElse(4),
+        flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -155,8 +158,7 @@ object RefBinaryModel {
       "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
       "useMinimalAbbr",
       "useMinimalAbbr1",
-      "useIsURL", "useEntityTypes", "useAbbr1", "useWideDisjunctive",
-      "useDisjShape",
+      "useIsURL", "useEntityTypes", "useAbbr1",
       "useWEBFreqDict", "useUnknown", "useURLSequences",
       "usePrevNextLemmas",
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
@@ -176,8 +178,8 @@ object RefBinaryModel {
     for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
     for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
       s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
-    // disjunctionWidth is now supported and flows into the model
-    for (v <- flags.fields.get("useDisjunctiveShapeInteraction")) require(v != true,
-      "model was trained with -useDisjunctiveShapeInteraction: not in this engine's template set")
+    // disjunctionWidth / wideDisjunctionWidth / useWideDisjunctive /
+    // useDisjShape / useDisjunctiveShapeInteraction are all supported and
+    // flow into the model (round 4)
   }
 }

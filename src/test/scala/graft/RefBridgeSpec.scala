@@ -997,6 +997,22 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("DISJUNCTIVE-VARIANTS differential: wide disjunctive + disjunctive shapes + shape interaction") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // the last three self-contained families off the rejection list:
+    // useWideDisjunctive (own width flag, DISJWN/DISJWP), useDisjShape
+    // (NDISJSHAPE/CNDISJSHAPE over `get`-semantics shapes), and
+    // useDisjunctiveShapeInteraction (DISJN-CS/DISJP-CS) — all in the
+    // default useInternal&&useExternal branch (NERFeatureFactory.java:
+    // 1267-1302)
+    val agreement = runOccTagLeg("/tmp/refdisjvar",
+      Seq("-useWideDisjunctive", "true", "-wideDisjunctionWidth", "3",
+        "-useDisjShape", "true", "-useDisjunctiveShapeInteraction", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+  }
+
   test("MACRO-SHAPE differential: tags + occurrence patterns + useReverse (flipped scans)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")

@@ -142,7 +142,9 @@ class FeatureParitySpec extends AnyFunSuite {
       useEitherSideDisjunctive = true, useExtraTaggySequences = true,
       useTypeSeqs3 = true, useTaggySequencesShapeInteraction = true,
       useSymTags = true, usePrevVB = true, useNextVB = true, useVB = true,
-      useShapeConjunctions = true, useNextSequences = true)
+      useShapeConjunctions = true, useNextSequences = true,
+      useWideDisjunctive = true, wideDisjunctionWidth = 2,
+      useDisjShape = true, useDisjunctiveShapeInteraction = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -170,6 +172,14 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.containsKey("NSEQ|CnC") && dict.containsKey("Dr-NSEQW|CnC") &&
       dict.containsKey("-NSEQW|CnC"), "pad word at loc-1 reads as empty (getString)")
     assert(dict.containsKey("PNSEQ|CpCnC") && dict.containsKey("Smith-PNSEQW|CpCnC"))
+    // wide disjunctive (own width), disjunctive shapes (get -> "null" pads),
+    // and the disjunctive-shape interaction (cShape getString)
+    assert(dict.containsKey("won-DISJWN|C") && dict.containsKey("Dr-DISJWP|C"))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-NDISJSHAPE|C")))
+    assert(dict.keySet.toArray.exists(_.toString.contains("-CNDISJSHAPE|C")))
+    assert(dict.containsKey("null-NDISJSHAPE|C"), "pad shape reads as the literal null (get)")
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-DISJN-CS|C")) &&
+      dict.keySet.toArray.exists(_.toString.endsWith("-DISJP-CS|C")))
     val hash = new NerFeaturesFast.LongIntHash(dict.size)
     dict.forEach((k, v) => hash.put(NerFeaturesFast.fnv(k), v.intValue))
     val scratch = new NerFeaturesFast.Scratch
