@@ -1,6 +1,6 @@
 package graft
 
-import graft.kg.{ConnectedComponents, EntityLink, KgPipeline}
+import graft.kg.{ConnectedComponents, EntityLink, KgPipeline, TripleRules}
 import graft.ner.{NerModels, Tagger}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.Transcripts
@@ -287,6 +287,26 @@ object SparkEntry {
           .map(m => (id, m.etype, m.begin_char, m.end_char, m.surface))
       }.toDF("doc_id", "etype", "begin_char", "end_char", "surface")
     }),
+    // q43: the full text -> tags -> spans -> (subj, pred, obj) KG seed path
+    // through the REAL code (Tagger.spansOfSentence + TripleRules
+    // .fromSentence) — the north rule's core output shape, now under the
+    // driver's hash gate instead of rows-only
+    "q43_crf_triples" -> ((s, d) => {
+      import s.implicits._
+      val (docs, bc) = hashCrfOver(s, d)
+      docs.flatMap { case (id, tk) =>
+        val tags = bc.value.tag(tk.toIndexedSeq)
+        val text = tk.mkString(" ")
+        var off = 0
+        val raws = tk.map { w =>
+          val b = off; off += w.length + 1; graft.text.RawToken(w, b, b + w.length)
+        }
+        val ments = graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
+          tags.toIndexedSeq, text, "O")
+        TripleRules.fromSentence(ments, raws.map(r => (r.word, r.begin)))
+          .map(t => (id, t.subj, t.subj_type, t.pred, t.obj, t.obj_type))
+      }.toDF("doc_id", "subj", "subj_type", "pred", "obj", "obj_type")
+    }),
 
     // ===== ObjectBank record-iterator sources (reference objectbank/
     // DelimitRegExIterator.java, XMLBeginEndIterator.java): a deterministic
@@ -391,7 +411,8 @@ object SparkEntry {
       featGroup(id) = g
       weights(id) = Array.tabulate(graft.core.Crf.pow(3, g + 1))(c => hashWeight(f, c))
     }
-    new graft.ner.NerModel(Array("O", "LOC", "PER"), 0, featureIndex,
+    // real label names so TripleRules triggers apply downstream (q43)
+    new graft.ner.NerModel(Array("O", "LOCATION", "PERSON"), 0, featureIndex,
       graft.train.WeightLayout.fullProduct(3, 3, 0, featGroup), weights, Set.empty)
   }
 
@@ -619,7 +640,7 @@ object SparkEntry {
        |         WHEN scores[2] >= scores[3] THEN paths[2] ELSE paths[3] END path
        |  FROM vit WHERE i = n),
        |tags AS (SELECT w.doc_id, w.i, w.w,
-       |    CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOC' ELSE 'PER' END AS tag
+       |    CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOCATION' ELSE 'PERSON' END AS tag
        |  FROM wrow w JOIN fin f USING (doc_id))""".stripMargin
   }
 
@@ -635,7 +656,7 @@ object SparkEntry {
     * text (begin = prefix sum of token lengths + gaps — the engine side
     * computes the same offsets and runs the REAL Tagger.spansOfSentence).
     */
-  private val crfSpansOracleSql: String =
+  private val crfSpanCtes: String =
     s"""$crfTagsCtes,
        |offs AS (SELECT doc_id, i, w, tag,
        |    CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
@@ -643,16 +664,51 @@ object SparkEntry {
        |  FROM tags),
        |runs AS (SELECT doc_id, i, w, tag, b,
        |    i - row_number() OVER (PARTITION BY doc_id, tag ORDER BY i) AS grp
-       |  FROM offs WHERE tag != 'O')
-       |SELECT doc_id, tag AS etype,
-       |  CAST(min(b) AS INT) AS begin_char,
-       |  CAST(max(b + length(w)) AS INT) AS end_char,
-       |  array_to_string(list(w ORDER BY i), ' ') AS surface
-       |FROM runs GROUP BY doc_id, tag, grp""".stripMargin
+       |  FROM offs WHERE tag != 'O'),
+       |spans AS (SELECT doc_id, tag AS etype,
+       |    CAST(min(b) AS INT) AS begin_char,
+       |    CAST(max(b + length(w)) AS INT) AS end_char,
+       |    array_to_string(list(w ORDER BY i), ' ') AS surface
+       |  FROM runs GROUP BY doc_id, tag, grp)""".stripMargin
+
+  private val crfSpansOracleSql: String =
+    s"""$crfSpanCtes
+       |SELECT doc_id, etype, begin_char, end_char, surface FROM spans""".stripMargin
+
+  /** q43: TripleRules.fromSentence in SQL over the q42 spans — ADJACENT
+    * mention pairs in textual order; the first token strictly between them
+    * (token.begin >= a.end AND token.begin < b.begin, scanned left to
+    * right) that is a trigger for the (subjType, objType) pair selects the
+    * predicate, else CO_OCCURS (kg/TripleRules.scala semantics, embedded
+    * trigger table generated from the same Scala map).
+    */
+  private val crfTriplesOracleSql: String = {
+    val trigRows = TripleRules.triggers.toSeq.sortBy(_.toString).map {
+      case ((w, st, ot), pred) => s"('$w','$st','$ot','$pred')"
+    }.mkString(",")
+    s"""$crfSpanCtes,
+       |ordered AS (SELECT doc_id, etype, begin_char, end_char, surface,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY begin_char) rn FROM spans),
+       |mpairs AS (SELECT a.doc_id, a.rn, a.etype atyp, a.end_char aec, a.surface asur,
+       |    b.etype btyp, b.begin_char bbc, b.surface bsur
+       |  FROM ordered a JOIN ordered b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+       |trig(word, st, ot, pred) AS (VALUES $trigRows),
+       |hits AS (SELECT p.doc_id, p.rn, t.pred, o.i
+       |  FROM mpairs p
+       |  JOIN offs o ON o.doc_id = p.doc_id AND o.b >= p.aec AND o.b < p.bbc
+       |  JOIN trig t ON lower(o.w) = t.word AND p.atyp = t.st AND p.btyp = t.ot),
+       |firsthit AS (SELECT doc_id, rn, pred FROM (
+       |  SELECT doc_id, rn, pred, row_number() OVER (PARTITION BY doc_id, rn ORDER BY i) k
+       |  FROM hits) WHERE k = 1)
+       |SELECT p.doc_id, p.asur AS subj, p.atyp AS subj_type,
+       |  coalesce(f.pred, 'CO_OCCURS') AS pred, p.bsur AS obj, p.btyp AS obj_type
+       |FROM mpairs p LEFT JOIN firsthit f ON f.doc_id = p.doc_id AND f.rn = p.rn""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
+    "q43_crf_triples" -> crfTriplesOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
