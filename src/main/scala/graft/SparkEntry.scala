@@ -274,18 +274,9 @@ object SparkEntry {
     // segmentation in SQL (gaps-and-islands over consecutive equal tags)
     "q42_crf_spans" -> ((s, d) => {
       import s.implicits._
-      val (docs, bc) = hashCrfOver(s, d)
-      docs.flatMap { case (id, tk) =>
-        val tags = bc.value.tag(tk.toIndexedSeq)
-        val text = tk.mkString(" ")
-        var off = 0
-        val raws = tk.map { w =>
-          val b = off; off += w.length + 1; graft.text.RawToken(w, b, b + w.length)
-        }
-        graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
-            tags.toIndexedSeq, text, "O")
-          .map(m => (id, m.etype, m.begin_char, m.end_char, m.surface))
-      }.toDF("doc_id", "etype", "begin_char", "end_char", "surface")
+      hashCrfMentions(s, d)
+        .map(m => (m.conv_id.toLong, m.etype, m.begin_char, m.end_char, m.surface))
+        .toDF("doc_id", "etype", "begin_char", "end_char", "surface")
     }),
     // q43: the full text -> tags -> spans -> (subj, pred, obj) KG seed path
     // through the REAL code (Tagger.spansOfSentence + TripleRules
@@ -296,16 +287,23 @@ object SparkEntry {
       val (docs, bc) = hashCrfOver(s, d)
       docs.flatMap { case (id, tk) =>
         val tags = bc.value.tag(tk.toIndexedSeq)
-        val text = tk.mkString(" ")
-        var off = 0
-        val raws = tk.map { w =>
-          val b = off; off += w.length + 1; graft.text.RawToken(w, b, b + w.length)
-        }
+        val (raws, text) = joinedTokens(tk)
         val ments = graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
           tags.toIndexedSeq, text, "O")
         TripleRules.fromSentence(ments, raws.map(r => (r.word, r.begin)))
           .map(t => (id, t.subj, t.subj_type, t.pred, t.obj, t.obj_type))
       }.toDF("doc_id", "subj", "subj_type", "pred", "obj", "obj_type")
+    }),
+    // q44: the REAL EntityLink.link — minhash-LSH blocking over normalized
+    // surfaces, capped-bucket candidate join, exact-jaccard scoring,
+    // connected-components canonicalization, highest-mention-count
+    // representative — over the deterministic hash-CRF mention stream; the
+    // oracle reproduces the whole pipeline in SQL (the q20 minhash algebra +
+    // the q19 recursive closure + window canonicalization)
+    "q44_entity_link" -> ((s, d) => {
+      EntityLink.link(hashCrfMentions(s, d))
+        .select(col("etype"), col("surface"), col("surface_id"), col("n_mentions"),
+          col("entity_id"), col("canonical_surface"))
     }),
 
     // ===== ObjectBank record-iterator sources (reference objectbank/
@@ -366,6 +364,32 @@ object SparkEntry {
     val h = graft.ops.Hashing.splitmix64(
       graft.ops.Hashing.fnv1a64(feature) ^ (0x9e3779b97f4a7c15L * (col + 1)))
     ((h >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0
+  }
+
+  /** Deterministic single-space join of a doc's tokens with cumulative char
+    * offsets — the invertible-offset shape the real span fold needs.
+    */
+  private def joinedTokens(tk: Seq[String]): (Seq[graft.text.RawToken], String) = {
+    var off = 0
+    val raws = tk.map { w =>
+      val b = off; off += w.length + 1; graft.text.RawToken(w, b, b + w.length)
+    }
+    (raws, tk.mkString(" "))
+  }
+
+  /** The hash-CRF mention stream shared by q42/q44: tag every doc, run the
+    * REAL Tagger.spansOfSentence fold.
+    */
+  private def hashCrfMentions(s: SparkSession, d: String):
+      org.apache.spark.sql.Dataset[graft.pipeline.Mention] = {
+    import s.implicits._
+    val (docs, bc) = hashCrfOver(s, d)
+    docs.flatMap { case (id, tk) =>
+      val tags = bc.value.tag(tk.toIndexedSeq)
+      val (raws, text) = joinedTokens(tk)
+      graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
+        tags.toIndexedSeq, text, "O")
+    }
   }
 
   /** Tokenized documents + the broadcast hash-CRF over their vocabulary
@@ -623,7 +647,7 @@ object SparkEntry {
        |tac AS (SELECT doc_id, i, col, pq.pw + wt tr FROM wv JOIN pseqw pq USING (col) WHERE kind = 't'),
        |p9 AS (SELECT t.doc_id, t.i, t.col, u.u + t.tr pot
        |  FROM tac t JOIN uac u ON u.doc_id = t.doc_id AND u.i = t.i AND u.col = t.col % 3),
-       |pots AS (SELECT p9.doc_id, p9.i, any_value(hbase.n) n, list(pot ORDER BY col) pot9
+       |pots AS MATERIALIZED (SELECT p9.doc_id, p9.i, any_value(hbase.n) n, list(pot ORDER BY col) pot9
        |  FROM p9 JOIN hbase ON hbase.doc_id = p9.doc_id AND hbase.i = p9.i
        |  GROUP BY p9.doc_id, p9.i),
        |vit AS (
@@ -658,14 +682,14 @@ object SparkEntry {
     */
   private val crfSpanCtes: String =
     s"""$crfTagsCtes,
-       |offs AS (SELECT doc_id, i, w, tag,
+       |offs AS MATERIALIZED (SELECT doc_id, i, w, tag,
        |    CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
        |  FROM tags),
        |runs AS (SELECT doc_id, i, w, tag, b,
        |    i - row_number() OVER (PARTITION BY doc_id, tag ORDER BY i) AS grp
        |  FROM offs WHERE tag != 'O'),
-       |spans AS (SELECT doc_id, tag AS etype,
+       |spans AS MATERIALIZED (SELECT doc_id, tag AS etype,
        |    CAST(min(b) AS INT) AS begin_char,
        |    CAST(max(b + length(w)) AS INT) AS end_char,
        |    array_to_string(list(w ORDER BY i), ' ') AS surface
@@ -705,10 +729,82 @@ object SparkEntry {
        |FROM mpairs p LEFT JOIN firsthit f ON f.doc_id = p.doc_id AND f.rn = p.rn""".stripMargin
   }
 
+  /** q44: the FULL EntityLink.link pipeline in SQL over the q42 mention
+    * stream — normalize (lowercase + person-title strip), surface_id =
+    * fnv(etype + NUL + surface) (the NUL step is one extra prime multiply,
+    * xor-with-0 being identity), 3-char-shingle MinHash (32 hashes, the SAME
+    * seed-0x5eed universal hashers as the q20 oracle), 8-band/4-row band
+    * keys, the 64-surface bucket cap (window count), candidate pairs with
+    * SIGNED sid ordering, exact 64-bit-shingle Jaccard >= 0.55 (or equal
+    * norms), the q19-style recursive transitive closure with min-id
+    * components, and the highest-mention-count (ties: lexicographic)
+    * canonical representative.
+    */
+  private val crfEntityLinkOracleSql: String = {
+    val P = "2305843009213693951" // 2^61 - 1
+    val P61 = "2305843009213693952" // 2^61
+    def fnvContSql(h: String, strCol: String): String =
+      s"""list_reduce(list_prepend($h, list_transform(string_split($strCol,''), c -> ord(c)::HUGEINT)),
+         |  (h, c) -> ${umul64("xor(h, c)", 0x100000001b3L)})""".stripMargin
+    val sidExpr = fnvContSql(umul64(s"(${fnvSql("etype")})", 0x100000001b3L), "surface")
+    s"""$crfSpanCtes,
+       |surf AS (SELECT etype, surface, CAST(count(*) AS BIGINT) n_mentions
+       |  FROM spans GROUP BY 1, 2),
+       |snorm AS (SELECT etype, surface, n_mentions,
+       |    CASE WHEN etype = 'PERSON' AND sp > 1 AND list_contains(
+       |        ['dr.','mr.','ms.','mrs.','prof.','sen.','miss','sir'], substr(ls, 1, sp - 1))
+       |      THEN substr(ls, sp + 1) ELSE ls END AS norm
+       |  FROM (SELECT etype, surface, n_mentions, lower(surface) ls,
+       |          strpos(lower(surface), ' ') sp FROM surf)),
+       |sids AS MATERIALIZED (SELECT etype, surface, n_mentions, norm,
+       |    ${toSigned(s"($sidExpr)")} AS sid FROM snorm),
+       |shing AS (SELECT sid, etype, norm, unnest(CASE WHEN length(norm) >= 3
+       |    THEN list_distinct([norm[i:i+2] FOR i IN range(1, length(norm)-1)])
+       |    ELSE [norm] END) sh FROM sids),
+       |shd AS MATERIALIZED (SELECT DISTINCT sid, etype, ${fnvSql("sh")} hx FROM shing),
+       |$minhashHashersCte,
+       |msig AS (SELECT sid, i, min((a * (hx % $P61) % $P + b) % $P) v
+       |  FROM shd CROSS JOIN hashers WHERE i < 32 GROUP BY sid, i),
+       |mbk AS (SELECT s.sid, s.etype, s.norm, i // 4 band,
+       |    list_reduce(list_prepend(xor(14695981039346656037::HUGEINT, (i // 4)::HUGEINT),
+       |                             list(v ORDER BY i)),
+       |                (h, x) -> ${umul64("xor(h, x)", 0x100000001b3L)}) bkey
+       |  FROM msig m JOIN sids s ON s.sid = m.sid GROUP BY s.sid, s.etype, s.norm, i // 4),
+       |mbc AS MATERIALIZED (SELECT sid, etype, norm, band, bkey FROM (
+       |  SELECT sid, etype, norm, band, bkey,
+       |    count(*) OVER (PARTITION BY etype, band, bkey) bsz FROM mbk) WHERE bsz <= 64),
+       |mcand AS MATERIALIZED (SELECT DISTINCT a.sid s1, b.sid s2, a.norm n1, b.norm n2
+       |  FROM mbc a JOIN mbc b ON a.etype = b.etype AND a.band = b.band
+       |    AND a.bkey = b.bkey AND a.sid < b.sid),
+       |msz AS (SELECT sid, count(*) sz FROM shd GROUP BY sid),
+       |mint AS (SELECT c.s1, c.s2, count(*) iv FROM mcand c
+       |  JOIN shd x ON x.sid = c.s1 JOIN shd y ON y.sid = c.s2 AND y.hx = x.hx
+       |  GROUP BY c.s1, c.s2),
+       |medge AS MATERIALIZED (SELECT c.s1, c.s2 FROM mcand c
+       |  JOIN msz za ON za.sid = c.s1 JOIN msz zb ON zb.sid = c.s2
+       |  LEFT JOIN mint i ON i.s1 = c.s1 AND i.s2 = c.s2
+       |  WHERE c.n1 = c.n2 OR
+       |    CAST(coalesce(i.iv, 0) AS DOUBLE) / (za.sz + zb.sz - coalesce(i.iv, 0)) >= 0.55),
+       |med2 AS MATERIALIZED (SELECT s1 a, s2 b FROM medge UNION SELECT s2, s1 FROM medge),
+       |mwalk(src, node) AS (
+       |  SELECT a, a FROM med2
+       |  UNION
+       |  SELECT w.src, med2.b FROM mwalk w JOIN med2 ON w.node = med2.a),
+       |mcomp AS (SELECT src id, min(node) component FROM mwalk GROUP BY 1),
+       |massign AS (SELECT s.etype, s.surface, s.sid surface_id, s.n_mentions,
+       |    coalesce(c.component, s.sid) entity_id
+       |  FROM sids s LEFT JOIN mcomp c ON c.id = s.sid)
+       |SELECT etype, surface, surface_id, n_mentions, entity_id,
+       |  first_value(surface) OVER (PARTITION BY entity_id
+       |    ORDER BY n_mentions DESC, surface ASC) canonical_surface
+       |FROM massign""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
     "q43_crf_triples" -> crfTriplesOracleSql,
+    "q44_entity_link" -> crfEntityLinkOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
