@@ -282,18 +282,7 @@ object SparkEntry {
     // through the REAL code (Tagger.spansOfSentence + TripleRules
     // .fromSentence) — the north rule's core output shape, now under the
     // driver's hash gate instead of rows-only
-    "q43_crf_triples" -> ((s, d) => {
-      import s.implicits._
-      val (docs, bc) = hashCrfOver(s, d)
-      docs.flatMap { case (id, tk) =>
-        val tags = bc.value.tag(tk.toIndexedSeq)
-        val (raws, text) = joinedTokens(tk)
-        val ments = graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
-          tags.toIndexedSeq, text, "O")
-        TripleRules.fromSentence(ments, raws.map(r => (r.word, r.begin)))
-          .map(t => (id, t.subj, t.subj_type, t.pred, t.obj, t.obj_type))
-      }.toDF("doc_id", "subj", "subj_type", "pred", "obj", "obj_type")
-    }),
+    "q43_crf_triples" -> ((s, d) => hashCrfTriples(s, d)),
     // q44: the REAL EntityLink.link — minhash-LSH blocking over normalized
     // surfaces, capped-bucket candidate join, exact-jaccard scoring,
     // connected-components canonicalization, highest-mention-count
@@ -304,6 +293,30 @@ object SparkEntry {
       EntityLink.link(hashCrfMentions(s, d))
         .select(col("etype"), col("surface"), col("surface_id"), col("n_mentions"),
           col("entity_id"), col("canonical_surface"))
+    }),
+    // q45/q46: the graph-materialization aggregations (the q34/q35 shapes —
+    // per-entity node rollup with the max-struct canonical pick; triples
+    // joined to the surface map on both endpoints into weighted edges) over
+    // the hash-CRF streams, via the REAL EntityLink/GraphMaterializer code —
+    // the last KG stage under the driver's hash gate
+    "q45_graph_nodes" -> ((s, d) => {
+      EntityLink.link(hashCrfMentions(s, d))
+        .groupBy(col("entity_id"), col("etype"))
+        .agg(sum(col("n_mentions")).as("n_mentions"),
+          max(struct(col("n_mentions").as("c"), col("canonical_surface").as("s")))
+            .getField("s").as("canonical_surface"),
+          count(lit(1)).as("n_surfaces"))
+    }),
+    "q46_graph_edges" -> ((s, d) => {
+      val tps = hashCrfTriples(s, d)
+      val linked = EntityLink.link(hashCrfMentions(s, d)).localCheckpoint()
+      val surfMap = graft.kg.GraphMaterializer.surfaceMap(linked).drop("canonical_surface")
+      tps.join(surfMap.withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
+          .withColumnRenamed("entity_id", "subj_id"), Seq("subj_type", "subj"))
+        .join(surfMap.withColumnRenamed("etype", "obj_type").withColumnRenamed("surface", "obj")
+          .withColumnRenamed("entity_id", "obj_id"), Seq("obj_type", "obj"))
+        .groupBy(col("subj_id"), col("pred"), col("obj_id"))
+        .agg(count(lit(1)).as("weight"))
     }),
 
     // ===== ObjectBank record-iterator sources (reference objectbank/
@@ -390,6 +403,22 @@ object SparkEntry {
       graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
         tags.toIndexedSeq, text, "O")
     }
+  }
+
+  /** The hash-CRF triple stream (q43/q46): tag -> REAL span fold -> REAL
+    * TripleRules.fromSentence per doc.
+    */
+  private def hashCrfTriples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, bc) = hashCrfOver(s, d)
+    docs.flatMap { case (id, tk) =>
+      val tags = bc.value.tag(tk.toIndexedSeq)
+      val (raws, text) = joinedTokens(tk)
+      val ments = graft.ner.Tagger.spansOfSentence(id.toString, 0, 0, raws.toIndexedSeq,
+        tags.toIndexedSeq, text, "O")
+      TripleRules.fromSentence(ments, raws.map(r => (r.word, r.begin)))
+        .map(t => (id, t.subj, t.subj_type, t.pred, t.obj, t.obj_type))
+    }.toDF("doc_id", "subj", "subj_type", "pred", "obj", "obj_type")
   }
 
   /** Tokenized documents + the broadcast hash-CRF over their vocabulary
@@ -706,14 +735,14 @@ object SparkEntry {
     * predicate, else CO_OCCURS (kg/TripleRules.scala semantics, embedded
     * trigger table generated from the same Scala map).
     */
-  private val crfTriplesOracleSql: String = {
+  private val crfTripleCtes: String = {
     val trigRows = TripleRules.triggers.toSeq.sortBy(_.toString).map {
       case ((w, st, ot), pred) => s"('$w','$st','$ot','$pred')"
     }.mkString(",")
     s"""$crfSpanCtes,
        |ordered AS (SELECT doc_id, etype, begin_char, end_char, surface,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY begin_char) rn FROM spans),
-       |mpairs AS (SELECT a.doc_id, a.rn, a.etype atyp, a.end_char aec, a.surface asur,
+       |mpairs AS MATERIALIZED (SELECT a.doc_id, a.rn, a.etype atyp, a.end_char aec, a.surface asur,
        |    b.etype btyp, b.begin_char bbc, b.surface bsur
        |  FROM ordered a JOIN ordered b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
        |trig(word, st, ot, pred) AS (VALUES $trigRows),
@@ -723,11 +752,15 @@ object SparkEntry {
        |  JOIN trig t ON lower(o.w) = t.word AND p.atyp = t.st AND p.btyp = t.ot),
        |firsthit AS (SELECT doc_id, rn, pred FROM (
        |  SELECT doc_id, rn, pred, row_number() OVER (PARTITION BY doc_id, rn ORDER BY i) k
-       |  FROM hits) WHERE k = 1)
-       |SELECT p.doc_id, p.asur AS subj, p.atyp AS subj_type,
+       |  FROM hits) WHERE k = 1),
+       |trips AS MATERIALIZED (SELECT p.doc_id, p.asur AS subj, p.atyp AS subj_type,
        |  coalesce(f.pred, 'CO_OCCURS') AS pred, p.bsur AS obj, p.btyp AS obj_type
-       |FROM mpairs p LEFT JOIN firsthit f ON f.doc_id = p.doc_id AND f.rn = p.rn""".stripMargin
+       |FROM mpairs p LEFT JOIN firsthit f ON f.doc_id = p.doc_id AND f.rn = p.rn)""".stripMargin
   }
+
+  private val crfTriplesOracleSql: String =
+    s"""$crfTripleCtes
+       |SELECT doc_id, subj, subj_type, pred, obj, obj_type FROM trips""".stripMargin
 
   /** q44: the FULL EntityLink.link pipeline in SQL over the q42 mention
     * stream — normalize (lowercase + person-title strip), surface_id =
@@ -740,15 +773,14 @@ object SparkEntry {
     * components, and the highest-mention-count (ties: lexicographic)
     * canonical representative.
     */
-  private val crfEntityLinkOracleSql: String = {
+  private val linkCtes: String = {
     val P = "2305843009213693951" // 2^61 - 1
     val P61 = "2305843009213693952" // 2^61
     def fnvContSql(h: String, strCol: String): String =
       s"""list_reduce(list_prepend($h, list_transform(string_split($strCol,''), c -> ord(c)::HUGEINT)),
          |  (h, c) -> ${umul64("xor(h, c)", 0x100000001b3L)})""".stripMargin
     val sidExpr = fnvContSql(umul64(s"(${fnvSql("etype")})", 0x100000001b3L), "surface")
-    s"""$crfSpanCtes,
-       |surf AS (SELECT etype, surface, CAST(count(*) AS BIGINT) n_mentions
+    s"""surf AS (SELECT etype, surface, CAST(count(*) AS BIGINT) n_mentions
        |  FROM spans GROUP BY 1, 2),
        |snorm AS (SELECT etype, surface, n_mentions,
        |    CASE WHEN etype = 'PERSON' AND sp > 1 AND list_contains(
@@ -793,18 +825,49 @@ object SparkEntry {
        |mcomp AS (SELECT src id, min(node) component FROM mwalk GROUP BY 1),
        |massign AS (SELECT s.etype, s.surface, s.sid surface_id, s.n_mentions,
        |    coalesce(c.component, s.sid) entity_id
-       |  FROM sids s LEFT JOIN mcomp c ON c.id = s.sid)
-       |SELECT etype, surface, surface_id, n_mentions, entity_id,
+       |  FROM sids s LEFT JOIN mcomp c ON c.id = s.sid),
+       |linkedo AS MATERIALIZED (SELECT etype, surface, surface_id, n_mentions, entity_id,
        |  first_value(surface) OVER (PARTITION BY entity_id
        |    ORDER BY n_mentions DESC, surface ASC) canonical_surface
-       |FROM massign""".stripMargin
+       |FROM massign)""".stripMargin
   }
+
+  private val crfEntityLinkOracleSql: String =
+    s"""$crfSpanCtes,
+       |$linkCtes
+       |SELECT etype, surface, surface_id, n_mentions, entity_id, canonical_surface FROM linkedo""".stripMargin
+
+  /** q45: graph nodes (the q34 shape — per-entity aggregation with the
+    * max-struct canonical pick) over the hash-CRF linking result.
+    */
+  private val crfGraphNodesOracleSql: String =
+    s"""$crfSpanCtes,
+       |$linkCtes
+       |SELECT entity_id, etype, CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+       |  (max(struct_pack(c := n_mentions, s := canonical_surface))).s AS canonical_surface,
+       |  CAST(count(*) AS BIGINT) AS n_surfaces
+       |FROM linkedo GROUP BY 1, 2""".stripMargin
+
+  /** q46: graph edges (the q35 shape — triples joined to the surface map on
+    * both endpoints, grouped to weighted edges) over the hash-CRF streams.
+    */
+  private val crfGraphEdgesOracleSql: String =
+    s"""$crfTripleCtes,
+       |$linkCtes
+       |SELECT sm1.entity_id AS subj_id, t.pred, sm2.entity_id AS obj_id,
+       |  CAST(count(*) AS BIGINT) AS weight
+       |FROM trips t
+       |JOIN linkedo sm1 ON sm1.etype = t.subj_type AND sm1.surface = t.subj
+       |JOIN linkedo sm2 ON sm2.etype = t.obj_type AND sm2.surface = t.obj
+       |GROUP BY 1, 2, 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
     "q43_crf_triples" -> crfTriplesOracleSql,
     "q44_entity_link" -> crfEntityLinkOracleSql,
+    "q45_graph_nodes" -> crfGraphNodesOracleSql,
+    "q46_graph_edges" -> crfGraphEdgesOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
