@@ -422,11 +422,22 @@ object SparkEntry {
   }
 
   /** Tokenized documents + the broadcast hash-CRF over their vocabulary
-    * (shared by q41/q42). The dictionary build is a vocabulary-sized driver
+    * (shared by q41-q46). The dictionary build is a vocabulary-sized driver
     * collect, same shape as the reference's in-RAM Index
-    * (CRFClassifier.java:381-501).
+    * (CRFClassifier.java:381-501). Memoized per (session, dir): the six KG
+    * oracle queries would otherwise rebuild the identical model (three
+    * aggregation jobs each) every invocation of one Verify run.
     */
+  private val hashCrfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      org.apache.spark.broadcast.Broadcast[graft.ner.NerModel])]
+
   private def hashCrfOver(s: SparkSession, d: String): (
+      org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]) =
+    hashCrfMemo.getOrElseUpdate((s, d), buildHashCrf(s, d))
+
+  private def buildHashCrf(s: SparkSession, d: String): (
       org.apache.spark.sql.Dataset[(Long, Seq[String])],
       org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]) = {
     import s.implicits._
