@@ -319,6 +319,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("weight"))
     }),
 
+    // q47: K-BEST Viterbi (KBestSequenceFinder semantics — per-state top-k
+    // with stable score-desc ordering, candidate order (prepended-class asc,
+    // prev-rank asc), global top-k over final states in (state asc, rank
+    // asc) stable order) for k=2 over the hash-CRF; the oracle carries the
+    // 9-state x 2-rank DP score/path lists through the same recursive-CTE
+    // machinery, with first-index tie selection mirroring the engine's
+    // stable sort. Scores are bit-exact (same additions, same association)
+    // and rounded to 6 dp on both sides.
+    "q47_crf_kbest" -> ((s, d) => {
+      import s.implicits._
+      val (docs, bc) = hashCrfOver(s, d)
+      docs.flatMap { case (id, tk) =>
+        bc.value.tagKBest(tk.toIndexedSeq, 2).iterator.zipWithIndex.flatMap {
+          case ((labels, score), r) =>
+            tk.indices.map(i => (id, r + 1, i, tk(i), labels(i), score))
+        }
+      }.toDF("doc_id", "rank", "pos", "token", "tag", "score")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // ===== ObjectBank record-iterator sources (reference objectbank/
     // DelimitRegExIterator.java, XMLBeginEndIterator.java): a deterministic
     // corpus file is synthesized from the documents table, then read back
@@ -654,7 +674,12 @@ object SparkEntry {
     def mixRows(n: Int): String =
       (0 until n).map(c => s"($c,${java.lang.Long.toUnsignedString(golden * (c + 1))}::HUGEINT)")
         .mkString(",")
-    val pseqRows = (0 until 9).map(c => s"($c,${hashWeight("PSEQ|CpC", c)})").mkString(",")
+    // CAST the STRING form: a bare numeric literal is inferred as DECIMAL,
+    // and DECIMAL->DOUBLE does NOT round-trip every shortest-repr double
+    // (found via q47's 1-ulp rank-2 tie divergence); string->DOUBLE parsing
+    // is correctly rounded
+    val pseqRows = (0 until 9)
+      .map(c => s"($c,CAST('${hashWeight("PSEQ|CpC", c)}' AS DOUBLE))").mkString(",")
     def cand(pp: Int, l: Int) = s"(v.scores[${pp + 1}] + p.pot9[${pp * 3 + l + 1}])"
     def bestVal(l: Int) = s"greatest(${cand(0, l)}, ${cand(1, l)}, ${cand(2, l)})"
     def bestPath(l: Int) =
@@ -872,8 +897,69 @@ object SparkEntry {
        |JOIN linkedo sm2 ON sm2.etype = t.obj_type AND sm2.surface = t.obj
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q47: 2-best Viterbi in SQL. The recursion carries 18-entry DP lists
+    * (flat index = state*2 + rank, state = prevLabel*3 + curLabel over the
+    * last two labels) of scores and label paths. Per step and state, the six
+    * candidates (3 prepended classes x 2 prev ranks, in that index order —
+    * the engine's candidate insertion order) are ranked by score with
+    * FIRST-index tie selection (list_position returns the first occurrence),
+    * which equals the engine's stable sortBy(-score); absent engine entries
+    * are -infinity fillers that can never outrank a real candidate. Lateral
+    * column aliases stage the per-state computations; the recursive member
+    * wraps them in a subquery so the UNION ALL arity matches.
+    */
+  private val crfKbestOracleSql: String = {
+    val NI = "'-infinity'::DOUBLE"
+    // base (engine pos 0): only states (prev=O, c) carry one real entry
+    val baseSc = (0 until 9).flatMap { st =>
+      if (st < 3) Seq(s"pot9[${st + 1}]", NI) else Seq(NI, NI)
+    }.mkString("[", ", ", "]::DOUBLE[]")
+    val basePaths = (0 until 9).flatMap { st =>
+      if (st < 3) Seq(s"[$st]", "[]") else Seq("[]", "[]")
+    }.mkString("[", ", ", "]::INT[][]")
+    // per-state lateral aliases in the recursive member's inner select
+    val stateAliases = (0 until 9).flatMap { st =>
+      val p1 = st / 3; val c = st % 3
+      val cands = for (a <- 0 until 3; r <- 0 until 2)
+        yield s"vsc[${(a * 3 + p1) * 2 + r + 1}] + pot9[${p1 * 3 + c + 1}]"
+      def pf(idx: String) = s"((((($idx) - 1) // 2) * 3 + $p1) * 2 + ((($idx) - 1) % 2)) + 1"
+      Seq(
+        s"${cands.mkString("[", ", ", "]")}::DOUBLE[] cst$st",
+        s"list_max(cst$st) v1_$st",
+        s"list_position(cst$st, v1_$st) i1_$st",
+        s"list_max([CASE WHEN j = i1_$st THEN $NI ELSE cst$st[j] END FOR j IN range(1, 7)]) v2_$st",
+        s"list_position([CASE WHEN j = i1_$st THEN $NI ELSE cst$st[j] END FOR j IN range(1, 7)], v2_$st) i2_$st",
+        s"vpaths[${pf(s"i1_$st")}] || [$c] pth1_$st",
+        s"vpaths[${pf(s"i2_$st")}] || [$c] pth2_$st")
+    }.mkString(",\n      ")
+    val scNew = (0 until 9).flatMap(st => Seq(s"v1_$st", s"v2_$st")).mkString("[", ", ", "]")
+    val pathsNew = (0 until 9).flatMap(st => Seq(s"pth1_$st", s"pth2_$st")).mkString("[", ", ", "]")
+    s"""$crfTagsCtes,
+       |kb AS (
+       |  SELECT doc_id, i, n, $baseSc sc, $basePaths paths
+       |  FROM pots WHERE i = 1
+       |  UNION ALL
+       |  SELECT doc_id, i, n, $scNew sc, $pathsNew paths FROM (
+       |    SELECT v.doc_id, p.i, p.n, v.sc vsc, v.paths vpaths, p.pot9 pot9,
+       |      $stateAliases
+       |    FROM kb v JOIN pots p ON p.doc_id = v.doc_id AND p.i = v.i + 1)),
+       |kfin AS (SELECT doc_id, sc, paths,
+       |    list_max(sc) v1, list_position(sc, list_max(sc)) i1 FROM kb WHERE i = n),
+       |ktop AS (SELECT doc_id, paths, i1, v1,
+       |    list_max([CASE WHEN j = i1 THEN $NI ELSE sc[j] END FOR j IN range(1, 19)]) v2,
+       |    list_position([CASE WHEN j = i1 THEN $NI ELSE sc[j] END FOR j IN range(1, 19)], v2) i2
+       |  FROM kfin),
+       |kout AS (SELECT doc_id, 1 rnk, paths[i1] path, round(v1, 6) score FROM ktop
+       |  UNION ALL SELECT doc_id, 2, paths[i2], round(v2, 6) FROM ktop)
+       |SELECT w.doc_id, CAST(k.rnk AS INT) AS rank, CAST(w.i - 1 AS INT) AS pos, w.w AS token,
+       |  CASE k.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOCATION' ELSE 'PERSON' END AS tag,
+       |  k.score
+       |FROM wrow w JOIN kout k USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
+    "q47_crf_kbest" -> crfKbestOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
     "q43_crf_triples" -> crfTriplesOracleSql,
     "q44_entity_link" -> crfEntityLinkOracleSql,
