@@ -168,12 +168,22 @@ object Bench {
   private def cleanFlags(reps: Seq[Rep], utilFrac: Double, utilFloor: Double,
       cpuSlack: Double): Seq[Boolean] = {
     val byLevel = reps.groupBy(_.cores)
-    val bestCpu = byLevel.map { case (l, rs) => l -> rs.map(_.selfCpuSec).min }
-    val bestUtil = byLevel.map { case (l, rs) => l -> rs.map(_.util).max }
+    // exclude the -1 "/proc unreadable" sentinel from the per-level baselines:
+    // with mixed readability a sentinel would drive bestCpu to -1 and the
+    // cpuSlack bound (<= negative) would mark every MEASURED rep dirty
+    // (round-4 advice)
+    val bestCpu = byLevel.map { case (l, rs) =>
+      val valid = rs.map(_.selfCpuSec).filter(_ >= 0)
+      l -> (if (valid.nonEmpty) valid.min else -1.0)
+    }
+    val bestUtil = byLevel.map { case (l, rs) =>
+      val valid = rs.filter(_.selfCpuSec >= 0).map(_.util)
+      l -> (if (valid.nonEmpty) valid.max else 0.0)
+    }
     reps.map(r => r.ambientClean &&
-      // /proc unreadable -> selfCpuSec -1: degrade to the ambient-only gate
-      // rather than marking every rep dirty
-      (r.selfCpuSec < 0 ||
+      // /proc unreadable (this rep or the whole level) -> degrade to the
+      // ambient-only gate rather than marking every rep dirty
+      (r.selfCpuSec < 0 || bestCpu(r.cores) < 0 ||
         (r.util >= utilFrac * bestUtil(r.cores) && r.util >= utilFloor &&
           r.selfCpuSec <= cpuSlack * bestCpu(r.cores))))
   }
@@ -279,9 +289,19 @@ object Bench {
     // round-robin, while the budget lasts; the round cap backstops a level
     // that can never satisfy the gate (so one sick criterion cannot eat the
     // entire budget re-running a single level — smoke-run finding).
+    // PRIORITIZED for the levels the north-rule ratio actually reads: the
+    // 2->8 efficiency never consults the full-width level, so the first two
+    // levels are topped up first and the 32-core level only once they are
+    // clean (round-4 driver run: the budget died on 2-core re-runs while a
+    // partially-quiet window could still have produced a clean 2->8 pair).
     var topUpRound = rounds
     val maxTopUpRounds = rounds * 4
-    var deficient = levels.filter(l => cleanCount(l) < minCleanPerLevel)
+    def deficientNow: Seq[Int] = {
+      val pair = levels.take(2).filter(l => cleanCount(l) < minCleanPerLevel)
+      if (pair.nonEmpty) pair
+      else levels.drop(2).filter(l => cleanCount(l) < minCleanPerLevel)
+    }
+    var deficient = deficientNow
     while (deficient.nonEmpty && topUpRound < maxTopUpRounds && System.nanoTime() < deadline) {
       for (level <- deficient if System.nanoTime() < deadline) {
         val s = session(level)
@@ -289,31 +309,34 @@ object Bench {
         s.stop()
       }
       topUpRound += 1
-      deficient = levels.filter(l => cleanCount(l) < minCleanPerLevel)
+      deficient = deficientNow
     }
 
     val finalFlags = cleanFlags(reps.toSeq, utilFrac, utilFloor, cpuSlack)
     val cleanReps = reps.indices.filter(finalFlags).map(reps(_))
     val byLevel = levels.map(l => l -> reps.filter(_.cores == l))
     val cleanByLevel = levels.map(l => l -> cleanReps.filter(_.cores == l)).toMap
-    val allLevelsClean = levels.forall(l => cleanByLevel(l).nonEmpty)
-    // best-of over clean reps when every level has one; the clean subset is
-    // what an idle machine would have produced (ambient measured DURING the
-    // rep, excluding our own ticks)
-    val bestSec = byLevel.map { case (l, rs) =>
-      val pool = if (allLevelsClean) cleanByLevel(l) else rs
-      l -> pool.map(_.sec).min
-    }.toMap
-    val varPool = (l: Int) => if (allLevelsClean) cleanByLevel(l) else reps.filter(_.cores == l)
-    val varianceRatio = levels.map(l => varPool(l).map(_.sec).max / varPool(l).map(_.sec).min).max
+    // best-of over clean reps PER LEVEL (falling back to all reps only for a
+    // level with no clean rep); the clean subset is what an idle machine
+    // would have produced (ambient measured DURING the rep, excluding our
+    // own ticks)
+    val varPool = (l: Int) =>
+      if (cleanByLevel(l).nonEmpty) cleanByLevel(l) else reps.filter(_.cores == l).toSeq
+    val bestSec = byLevel.map { case (l, _) => l -> varPool(l).map(_.sec).min }.toMap
+    // the headline suspect flag and the variance guard read ONLY the N->4N
+    // pair (levels 0 and 1): that ratio is the north-rule deliverable, and
+    // tying it to the best-effort full-width level let a noisy 32-core rep
+    // poison an otherwise-clean 2->8 measurement (round-4 verdict)
+    val pairLevels = levels.take(2)
+    val varianceRatio = pairLevels.map(l => varPool(l).map(_.sec).max / varPool(l).map(_.sec).min).max
     val turns = reps.head.turns
     val tput = levels.map(l => l -> turns / bestSec(l)).toMap
     val eff2to8 = (tput(levels(1)) / tput(levels(0))) / (levels(1).toDouble / levels(0))
     val eff8to32 = (tput(levels(2)) / tput(levels(1))) / (levels(2).toDouble / levels(1))
     val ambientLoad = reps.map(_.load).min
     val cleanCounts = levels.map(l => cleanByLevel(l).size)
-    val fullyClean = cleanCounts.forall(_ >= minCleanPerLevel)
-    val suspect = !fullyClean || varianceRatio > 3.0 || (cgroupCpus > 0 && cgroupCpus < cpus)
+    val pairClean = pairLevels.forall(l => cleanByLevel(l).size >= minCleanPerLevel)
+    val suspect = !pairClean || varianceRatio > 3.0 || (cgroupCpus > 0 && cgroupCpus < cpus)
     val repsJson = reps.zip(finalFlags).map { case (r, cl) =>
       f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"self_cpu_sec":${r.selfCpuSec}%.1f,"util":${r.util}%.3f,"clean":$cl}""" }
       .mkString("[", ",", "]")
@@ -328,18 +351,38 @@ object Bench {
     val trainConvs = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CONVS", "20000").toLong
     val trainAttemptsMax = sys.env.getOrElse("SPARK_GRAFT_TRAIN_ATTEMPTS", "3").toInt
     val trainBudgetSec = sys.env.getOrElse("SPARK_GRAFT_TRAIN_BUDGET_SEC", "240").toLong
+    // Training interleaves parallel treeAggregate passes with genuine
+    // single-threaded driver work (Breeze two-loop recursion, line search),
+    // so its healthy utilization sits well below the scaling reps' (~0.38
+    // measured at 32 cores); the absolute floor catches only gross stalls.
+    val trainUtilMin = sys.env.getOrElse("SPARK_GRAFT_TRAIN_UTIL_MIN", "0.2").toDouble
+    // CPU-seconds-per-doc slack vs the best attempt: the SELF-REFERENTIAL
+    // gate the scaling reps already have. Round 4's driver run proved the
+    // absolute-floor gate blind: a 422 s train (21x the committed clean
+    // 20.3 s) read `clean` because the first attempt ate the whole budget
+    // and no second attempt existed to compare against. cpuSec/doc is
+    // size-normalized, so a half-size confirmation attempt is comparable.
+    val trainCpuSlack = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CPU_SLACK", "1.5").toDouble
     val trainDeadline = System.nanoTime() + trainBudgetSec * 1000000000L
-    var trainSec = Double.MaxValue
-    var trainAmbient = -1.0
-    var trainClean = false
-    var trainDocs = 0L
-    var trainFeat = 0
+    final case class TrainAttempt(convs: Long, docs: Long, sec: Double, amb: Double,
+        selfCpu: Double, util: Double, features: Int)
+    val tAttempts = scala.collection.mutable.ArrayBuffer.empty[TrainAttempt]
+    // clean = ambient ok AND util above the floor AND cpuSec-per-doc within
+    // slack of the pool's best; train_clean additionally REQUIRES >= 2
+    // attempts (a lone attempt has no baseline — the r4 blind spot)
+    def trainCleanFlags(as: Seq[TrainAttempt]): Seq[Boolean] = {
+      val valid = as.filter(a => a.selfCpu >= 0 && a.docs > 0)
+      val bestCpd = if (valid.nonEmpty) valid.map(a => a.selfCpu / a.docs).min else -1.0
+      as.map(a => a.amb >= 0 && a.amb <= ambientMax &&
+        (a.selfCpu < 0 || bestCpd < 0 ||
+          (a.util >= trainUtilMin && a.selfCpu / a.docs <= trainCpuSlack * bestCpd)))
+    }
     var heldoutAcc = 0.0
-    var attempt = 0
-    while (attempt < trainAttemptsMax && !trainClean &&
-        (attempt == 0 || System.nanoTime() < trainDeadline)) {
+    var attemptConvs = trainConvs
+    var continueTraining = true
+    while (continueTraining) {
       import spark.implicits._
-      val docs = graft.pipeline.Transcripts.synthGold(spark, trainConvs, seed = 7L)
+      val docs = graft.pipeline.Transcripts.synthGold(spark, attemptConvs, seed = 7L)
         .map(g => graft.train.LabeledDoc(g.words, g.labels))
       val nDocs = docs.count()
       Ambient.admit(ambientMax, trainDeadline)
@@ -349,28 +392,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val a1 = Ambient.sample()
       val amb = Ambient.between(a0, a1)
-      // Training interleaves parallel treeAggregate passes with genuine
-      // single-threaded driver work (Breeze two-loop recursion, line search),
-      // so its healthy utilization sits well below the scaling reps'
-      // (~0.38 measured at 32 cores); with single attempts there is no
-      // level-relative baseline, so a loose absolute floor catches gross
-      // interference only (a train stalled 3x+ runs under ~0.13).
-      val trainUtilMin = sys.env.getOrElse("SPARK_GRAFT_TRAIN_UTIL_MIN", "0.2").toDouble
-      val trainUtil =
-        if (a0.selfTicks >= 0 && a1.selfTicks >= 0 && sec > 0)
-          (a1.selfTicks - a0.selfTicks) / 100.0 / (cpus * sec) else -1.0
-      val attemptClean = amb >= 0 && amb <= ambientMax && trainUtil >= trainUtilMin
-      // best-of over CLEAN attempts only (same selection rule as the scaling
-      // reps); a dirty attempt's time may stand in only while no clean one
-      // exists, and then the reported train_clean stays false
-      if (attemptClean && (!trainClean || sec < trainSec)) {
-        trainSec = sec; trainAmbient = amb; trainClean = true
-      } else if (!trainClean && sec < trainSec) {
-        trainSec = sec; trainAmbient = amb
-      }
-      trainDocs = nDocs
-      trainFeat = m.numFeatures
-      if (attempt == 0) { // held-out check once; it is model-deterministic
+      val selfCpu =
+        if (a0.selfTicks >= 0 && a1.selfTicks >= 0) (a1.selfTicks - a0.selfTicks) / 100.0 else -1.0
+      val trainUtil = if (selfCpu >= 0 && sec > 0) selfCpu / (cpus * sec) else -1.0
+      tAttempts += TrainAttempt(attemptConvs, nDocs, sec, amb, selfCpu, trainUtil, m.numFeatures)
+      if (tAttempts.size == 1) { // held-out check once; it is model-deterministic
         var ok = 0L; var tot = 0L
         for (conv <- 0L until 2000L; t <- 0 until Transcripts.numTurns(8L, conv)
              if !Transcripts.isToolTurn(8L, conv, t)) {
@@ -380,9 +406,35 @@ object Bench {
         }
         heldoutAcc = ok.toDouble / tot
       }
-      System.err.println(f"[bench] train attempt=$attempt convs=$trainConvs docs=$nDocs sec=$sec%.1f ambient=$amb%.2f util=$trainUtil%.2f clean=$trainClean features=${m.numFeatures} heldoutAcc=$heldoutAcc%.5f")
-      attempt += 1
+      System.err.println(f"[bench] train attempt=${tAttempts.size - 1} convs=$attemptConvs docs=$nDocs sec=$sec%.1f ambient=$amb%.2f util=$trainUtil%.2f selfCpu=$selfCpu%.1f features=${m.numFeatures} heldoutAcc=$heldoutAcc%.5f")
+      val flags = trainCleanFlags(tAttempts.toSeq)
+      val haveClean = tAttempts.size >= 2 && flags.exists(identity)
+      if (tAttempts.size >= trainAttemptsMax || haveClean) continueTraining = false
+      else if (System.nanoTime() >= trainDeadline) {
+        // budget blown: a lone attempt still gets its forced HALF-SIZE
+        // confirmation rep (cheap, and cpuSec/doc is size-normalized) so the
+        // relative gate always has a baseline; with >= 2 attempts stop
+        if (tAttempts.size >= 2) continueTraining = false
+        else attemptConvs = math.max(1000L, attemptConvs / 2)
+      }
     }
+    val tFlags = trainCleanFlags(tAttempts.toSeq)
+    val trainClean = tAttempts.size >= 2 && tFlags.exists(identity)
+    // report the clean attempt with the most docs (ties: fastest), falling
+    // back to the fastest attempt overall with train_clean=false
+    val chosenIdx =
+      if (trainClean) tAttempts.indices.filter(tFlags)
+        .minBy(i => (-tAttempts(i).docs, tAttempts(i).sec))
+      else tAttempts.indices.minBy(tAttempts(_).sec)
+    val chosen = tAttempts(chosenIdx)
+    val trainSec = chosen.sec
+    val trainAmbient = chosen.amb
+    val trainDocs = chosen.docs
+    val trainFeat = chosen.features
+    val trainSelfCpu = chosen.selfCpu
+    val trainUtilChosen = chosen.util
+    val trainCpuPerDoc = if (chosen.docs > 0 && chosen.selfCpu >= 0) chosen.selfCpu / chosen.docs else -1.0
+    val trainConvsChosen = chosen.convs
 
     // ---- headline queries at full parallelism; a query whose window saw
     // ambient load above the threshold is retried once and keeps its best ----
@@ -434,14 +486,25 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ner_turns":$turns,""" +
       levels.map(l => f""""turns_per_sec_$l":${tput(l)}%.1f""").mkString(",") + "," +
       f""""scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,""" +
-      f""""train_convs":$trainConvs,"train_docs":$trainDocs,"train_sec":$trainSec%.1f,""" +
+      f""""train_convs":$trainConvsChosen,"train_docs":$trainDocs,"train_sec":$trainSec%.1f,""" +
       f""""train_features":$trainFeat,"train_heldout_acc":$heldoutAcc%.5f,""" +
       f""""train_ambient":$trainAmbient%.2f,"train_clean":$trainClean,""" +
+      f""""train_self_cpu_sec":$trainSelfCpu%.1f,"train_util":$trainUtilChosen%.2f,""" +
+      f""""train_cpu_per_doc":$trainCpuPerDoc%.5f,"train_attempts":${tAttempts.size},""" +
+      f""""train_cpu_slack":$trainCpuSlack%.2f,""" +
       f""""suspect":$suspect,"rep_variance_ratio":$varianceRatio%.2f,"ambient_load_min":$ambientLoad%.2f,""" +
       f""""ambient_max_cores":$ambientMax%.1f,"util_frac":$utilFrac%.2f,"util_floor":$utilFloor%.2f,"cpu_slack":$cpuSlack%.2f,"clean_reps":[${cleanCounts.mkString(",")}],""" +
       f""""cgroup_cpus":$cgroupCpus%.1f,"jvm_cpus":${Runtime.getRuntime.availableProcessors},"reps":$repsJson,""" +
-      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat); a rep is clean iff ambient stayed under threshold DURING it AND its own JVM utilization selfCpuSec/(cores*wall) is within util_frac of its level's best (and >= util_floor) AND its CPU-seconds are within cpu_slack x its level's best (the self-referential gate: catches host-level interference, iowait stalls and throttling the ambient probe is blind to; level-RELATIVE because healthy utilization varies by level, ~1.3 at 2 cores to ~0.4 at 32); best-of over clean reps; 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75)"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat); a rep is clean iff ambient stayed under threshold DURING it AND its own JVM utilization selfCpuSec/(cores*wall) is within util_frac of its level's best (and >= util_floor) AND its CPU-seconds are within cpu_slack x its level's best (the self-referential gate: catches host-level interference, iowait stalls and throttling the ambient probe is blind to; level-RELATIVE because healthy utilization varies by level, ~1.3 at 2 cores to ~0.4 at 32); best-of over clean reps per level; suspect + variance read ONLY the 2->8 pair (the north-rule N->4N deliverable; the 32-core level is best-effort and topped up last); 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75); train gate is self-referential too: cpuSec-per-doc within train_cpu_slack of the best attempt, >= 2 attempts required (a lone attempt has no baseline), forced half-size confirmation when the first attempt exhausts the budget"}"""
+    // Evidence protection (round-4 verdict): the run's JSON ALWAYS lands in a
+    // timestamped file; BENCH.json (the committed evidence of record) is only
+    // replaced by a run the gate believes — a polluted driver window can no
+    // longer clobber a committed clean measurement.
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_run_$stamp.json"), json + "\n")
+    if (!suspect) java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    else System.err.println(s"[bench] suspect=true -> BENCH.json left untouched (see BENCH_run_$stamp.json)")
     println(json)
     spark.stop()
   }

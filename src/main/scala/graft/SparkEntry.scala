@@ -339,6 +339,28 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // q48: LEARNED-weight CRF inference under the driver's hash gate — the
+    // q41 machinery with TRAINED weights instead of hash-derived ones.
+    // TrainedCrf is a real L-BFGS fit (full Trainer path: distributed
+    // dictionary, Ehat, treeAggregate gradient, Breeze L-BFGS) over a
+    // deterministic corpus, dictionary restricted to the four
+    // SQL-expressible families; tagging runs the identical engine path
+    // (featuresAt -> idsAt -> logPotentials -> viterbi) and the oracle
+    // embeds featureIndex + weights as CAST('<repr>' AS DOUBLE) VALUES rows
+    // and replays emission -> weight join -> potentials -> Viterbi in one
+    // DuckDB statement. Closes the trained-weights leg q30-q35's analogs
+    // could not certify.
+    "q48_crf_trained" -> ((s, d) => {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(TrainedCrf.model(s))
+      t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, tk) =>
+          val tags = bc.value.tag(tk.toIndexedSeq)
+          tk.indices.map(i => (id, i, tk(i), tags(i)))
+        }.toDF("doc_id", "pos", "token", "tag")
+    }),
+
     // ===== ObjectBank record-iterator sources (reference objectbank/
     // DelimitRegExIterator.java, XMLBeginEndIterator.java): a deterministic
     // corpus file is synthesized from the documents table, then read back
@@ -669,6 +691,49 @@ object SparkEntry {
     * relation `(doc_id, i, w, tag)`), used by the q41 (tags) and q42 (spans)
     * oracles.
     */
+  /** Shared token/shape CTE prefix (documents -> per-position token, dan2
+    * shape, lagged prev shape) used by the q41-q47 hash-CRF oracles AND the
+    * q48 trained-weights oracle.
+    */
+  private val tokShapeCtes: String =
+    s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
+       |posn AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM tok),
+       |wrow AS (SELECT doc_id, i, t[i] AS w, len(t) AS n FROM posn),
+       |shp AS (SELECT doc_id, i, w, n, ${dan2Sql("w")} AS s FROM wrow),
+       |pshp AS (SELECT doc_id, i, w, n, s,
+       |    coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY i), '') AS ps FROM shp)""".stripMargin
+
+  /** Shared 3-state Viterbi tail over a `pots(doc_id, i, n, pot9)` relation:
+    * the recursive forward max carrying the DP score vector and best label
+    * paths as lists, with the engine's first-index tie order (strict->
+    * comparisons; CASE chains keep the first maximum). `labels` maps DP state
+    * 0/1/2 to tag strings (classIndex order: background first, rest sorted).
+    */
+  private def viterbiTailCtes(labels: Seq[String]): String = {
+    require(labels.length == 3, "viterbiTailCtes generates a 3-state DP")
+    def cand(pp: Int, l: Int) = s"(v.scores[${pp + 1}] + p.pot9[${pp * 3 + l + 1}])"
+    def bestVal(l: Int) = s"greatest(${cand(0, l)}, ${cand(1, l)}, ${cand(2, l)})"
+    def bestPath(l: Int) =
+      s"(CASE WHEN ${cand(0, l)} >= ${cand(1, l)} AND ${cand(0, l)} >= ${cand(2, l)} THEN v.paths[1] " +
+        s"WHEN ${cand(1, l)} >= ${cand(2, l)} THEN v.paths[2] ELSE v.paths[3] END || [$l])"
+    s"""vit AS (
+       |  SELECT doc_id, i, n, [pot9[1], pot9[2], pot9[3]] scores,
+       |    [[0], [1], [2]] paths
+       |  FROM pots WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.doc_id, p.i, p.n,
+       |    [${bestVal(0)}, ${bestVal(1)}, ${bestVal(2)}],
+       |    [${bestPath(0)}, ${bestPath(1)}, ${bestPath(2)}]
+       |  FROM vit v JOIN pots p ON p.doc_id = v.doc_id AND p.i = v.i + 1),
+       |fin AS (SELECT doc_id,
+       |    CASE WHEN scores[1] >= scores[2] AND scores[1] >= scores[3] THEN paths[1]
+       |         WHEN scores[2] >= scores[3] THEN paths[2] ELSE paths[3] END path
+       |  FROM vit WHERE i = n),
+       |tags AS (SELECT w.doc_id, w.i, w.w,
+       |    CASE f.path[w.i] WHEN 0 THEN '${labels(0)}' WHEN 1 THEN '${labels(1)}' ELSE '${labels(2)}' END AS tag
+       |  FROM wrow w JOIN fin f USING (doc_id))""".stripMargin
+  }
+
   private val crfTagsCtes: String = {
     val golden = 0x9e3779b97f4a7c15L
     def mixRows(n: Int): String =
@@ -680,18 +745,8 @@ object SparkEntry {
     // is correctly rounded
     val pseqRows = (0 until 9)
       .map(c => s"($c,CAST('${hashWeight("PSEQ|CpC", c)}' AS DOUBLE))").mkString(",")
-    def cand(pp: Int, l: Int) = s"(v.scores[${pp + 1}] + p.pot9[${pp * 3 + l + 1}])"
-    def bestVal(l: Int) = s"greatest(${cand(0, l)}, ${cand(1, l)}, ${cand(2, l)})"
-    def bestPath(l: Int) =
-      s"(CASE WHEN ${cand(0, l)} >= ${cand(1, l)} AND ${cand(0, l)} >= ${cand(2, l)} THEN v.paths[1] " +
-        s"WHEN ${cand(1, l)} >= ${cand(2, l)} THEN v.paths[2] ELSE v.paths[3] END || [$l])"
     s"""WITH RECURSIVE
-       |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
-       |posn AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM tok),
-       |wrow AS (SELECT doc_id, i, t[i] AS w, len(t) AS n FROM posn),
-       |shp AS (SELECT doc_id, i, w, n, ${dan2Sql("w")} AS s FROM wrow),
-       |pshp AS (SELECT doc_id, i, w, n, s,
-       |    coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY i), '') AS ps FROM shp),
+       |$tokShapeCtes,
        |hbase AS (SELECT doc_id, i, n,
        |    ${fnvSql("w || '-WORD|C'")} hw,
        |    ${fnvSql("s || '-TYPE|C'")} hs,
@@ -715,22 +770,7 @@ object SparkEntry {
        |pots AS MATERIALIZED (SELECT p9.doc_id, p9.i, any_value(hbase.n) n, list(pot ORDER BY col) pot9
        |  FROM p9 JOIN hbase ON hbase.doc_id = p9.doc_id AND hbase.i = p9.i
        |  GROUP BY p9.doc_id, p9.i),
-       |vit AS (
-       |  SELECT doc_id, i, n, [pot9[1], pot9[2], pot9[3]] scores,
-       |    [[0], [1], [2]] paths
-       |  FROM pots WHERE i = 1
-       |  UNION ALL
-       |  SELECT p.doc_id, p.i, p.n,
-       |    [${bestVal(0)}, ${bestVal(1)}, ${bestVal(2)}],
-       |    [${bestPath(0)}, ${bestPath(1)}, ${bestPath(2)}]
-       |  FROM vit v JOIN pots p ON p.doc_id = v.doc_id AND p.i = v.i + 1),
-       |fin AS (SELECT doc_id,
-       |    CASE WHEN scores[1] >= scores[2] AND scores[1] >= scores[3] THEN paths[1]
-       |         WHEN scores[2] >= scores[3] THEN paths[2] ELSE paths[3] END path
-       |  FROM vit WHERE i = n),
-       |tags AS (SELECT w.doc_id, w.i, w.w,
-       |    CASE f.path[w.i] WHEN 0 THEN 'O' WHEN 1 THEN 'LOCATION' ELSE 'PERSON' END AS tag
-       |  FROM wrow w JOIN fin f USING (doc_id))""".stripMargin
+       |${viterbiTailCtes(Seq("O", "LOCATION", "PERSON"))}""".stripMargin
   }
 
   private val crfViterbiOracleSql: String =
@@ -957,8 +997,68 @@ object SparkEntry {
        |FROM wrow w JOIN kout k USING (doc_id)""".stripMargin
   }
 
+  /** q48 oracle: learned-weight CRF inference replayed in one DuckDB
+    * statement. The trained model's featureIndex + weight rows are embedded
+    * as `CAST('<repr>' AS DOUBLE)` VALUES (bare literals parse as DECIMAL and
+    * 1-ulp-drift on round trip — the q47 lesson); the emission side reuses
+    * the q41 token/shape CTEs; per-position potentials come from LEFT JOINs
+    * of the four emitted feature strings against the weight tables, with
+    * misses coalesced to 0 — exactly the engine's unseen-feature drop
+    * (CRFClassifier.java:200-207), and bit-exact because adding 0.0 is exact
+    * and each factor sums at most two hit weights in the same order the
+    * engine's idsAt iteration adds them (WORD then TYPE; PSEQ then TYPES).
+    * The Viterbi tail is shared with q41 verbatim.
+    */
+  private def crfTrainedOracleSql: String = {
+    val m = TrainedCrf.model()
+    def esc(s: String) = s.replace("'", "''")
+    val names = new Array[String](m.featureIndex.size)
+    m.featureIndex.forEach((k, v) => names(v.intValue) = k)
+    def rows(group: Int): String = {
+      val sb = new StringBuilder
+      for (id <- names.indices) {
+        val f = names(id)
+        val g = f.substring(f.lastIndexOf('|') + 1) match {
+          case "C" => 0
+          case "CpC" => 1
+          case _ => 2
+        }
+        if (g == group) {
+          val w = m.weights(id)
+          for (c <- w.indices) {
+            if (sb.nonEmpty) sb.append(",")
+            sb.append(s"('${esc(f)}',$c,CAST('${w(c)}' AS DOUBLE))")
+          }
+        }
+      }
+      sb.toString
+    }
+    s"""WITH RECURSIVE
+       |$tokShapeCtes,
+       |w0(f, c, wt) AS (VALUES ${rows(0)}),
+       |w1(f, c, wt) AS (VALUES ${rows(1)}),
+       |cols3(col) AS (VALUES (0),(1),(2)),
+       |cols9(col) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)),
+       |uac AS (SELECT p.doc_id, p.i, c3.col, coalesce(a.wt, 0) + coalesce(b.wt, 0) u
+       |  FROM pshp p CROSS JOIN cols3 c3
+       |  LEFT JOIN w0 a ON a.f = p.w || '-WORD|C' AND a.c = c3.col
+       |  LEFT JOIN w0 b ON b.f = p.s || '-TYPE|C' AND b.c = c3.col),
+       |tac AS (SELECT p.doc_id, p.i, c9.col, coalesce(a.wt, 0) + coalesce(b.wt, 0) tr
+       |  FROM pshp p CROSS JOIN cols9 c9
+       |  LEFT JOIN w1 a ON a.f = 'PSEQ|CpC' AND a.c = c9.col
+       |  LEFT JOIN w1 b ON b.f = p.ps || '-' || p.s || '-TYPES|CpC' AND b.c = c9.col),
+       |p9 AS (SELECT t.doc_id, t.i, t.col, u.u + t.tr pot
+       |  FROM tac t JOIN uac u ON u.doc_id = t.doc_id AND u.i = t.i AND u.col = t.col % 3),
+       |pots AS MATERIALIZED (SELECT p9.doc_id, p9.i, any_value(w.n) n, list(pot ORDER BY col) pot9
+       |  FROM p9 JOIN wrow w ON w.doc_id = p9.doc_id AND w.i = p9.i
+       |  GROUP BY p9.doc_id, p9.i),
+       |${viterbiTailCtes(Seq("O", "ENT", "OP"))}
+       |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS token, tag FROM tags""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
+    "q48_crf_trained" -> crfTrainedOracleSql,
     "q47_crf_kbest" -> crfKbestOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
     "q43_crf_triples" -> crfTriplesOracleSql,

@@ -105,6 +105,16 @@ object Trainer {
       // driver; long-tail hapax features (the overwhelming majority by Zipf)
       // never leave the executors. <= 1 (default) = reference-faithful keep-all.
       featureCountThreshold: Int = 0,
+      // Restrict the dictionary to a caller-chosen feature subset, evaluated
+      // driver-side on the collected (group, feature) pairs. The reference
+      // supports exactly this shape of reduction — an arbitrary subset of the
+      // template set loads and runs because unseen features hash-miss and
+      // drop (CRFClassifier.java:200-207) — and training against the reduced
+      // dictionary is a genuine CRF fit over that feature set (encodeWith
+      // drops non-dictionary features before the objective ever sees them).
+      // Used by the q48 trained-weights oracle, whose SQL side can only emit
+      // the four SQL-expressible families. None (default) = keep all.
+      dictionaryFilter: Option[(Int, String) => Boolean] = None,
       // Processed-data artifact (the reference's save/load of featurized
       // corpora, CRFClassifier.java:972-985,1254-1292): when set, the first
       // train() run persists the encoded corpus + dictionary metadata here
@@ -173,7 +183,8 @@ object Trainer {
       dsHash, gazHash, cfg.maxKnownLCWords,
       cfg.ngramOpts.maxLen, cfg.ngramOpts.noMid, cfg.ngramOpts.lowercase,
       cfg.ngramOpts.dehyphenate, cfg.ngramOpts.greekify, cfg.ngramOpts.conjoinShapes,
-      cfg.disjunctionWidth, cfg.miscOpts, cfg.featureCountThreshold).mkString("|")
+      cfg.disjunctionWidth, cfg.miscOpts, cfg.featureCountThreshold,
+      cfg.dictionaryFilter.isDefined).mkString("|")
   }
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta.gz")
@@ -271,7 +282,11 @@ object Trainer {
     // promote/demote sets, CRFClassifier.java:430-451; a CpC position counts
     // as background only when positions j AND j-1 are both background).
     val bg = cfg.background
-    val sorted: Array[(Int, String)] =
+    // dictionaryFilter is a function value: it cannot be fingerprinted into a
+    // processed-data artifact, so the two levers are mutually exclusive
+    require(cfg.dictionaryFilter.isEmpty || cfg.processedDataDir.isEmpty,
+      "dictionaryFilter cannot be combined with processedDataDir (the filter is not fingerprintable)")
+    val sorted0: Array[(Int, String)] =
       if (loadedMeta.isDefined) loadedMeta.get.features
       else if (!cfg.removeBackgroundSingletonFeatures) {
         val pairs = docs.flatMap { d =>
@@ -316,6 +331,10 @@ object Trainer {
           .select(col("g"), col("f")).as[(Int, String)]
           .collect().sortBy(t => (t._1, t._2))
       }
+    val sorted = cfg.dictionaryFilter match {
+      case Some(keep) => sorted0.filter { case (g, s) => keep(g, s) }
+      case None => sorted0
+    }
     var featureIndex = new java.util.HashMap[String, Integer](sorted.length * 2)
     var featGroup = new Array[Int](sorted.length)
     var featStrings = new Array[String](sorted.length)
