@@ -201,7 +201,9 @@ object NerFeatures {
       // the three remaining self-contained disjunctive variants
       // (NERFeatureFactory.java:1272-1277 interaction, :1282-1287 wide,
       // :1295-1302 shapes; default useInternal&&useExternal branch)
-      useWideDisjunctive: Boolean = false, wideDisjunctionWidth: Int = 4,
+      // default 10 = SeqClassifierFlags.java:194 (round-4 advice: 4 was a
+      // copy of disjunctionWidth's default, not the reference's)
+      useWideDisjunctive: Boolean = false, wideDisjunctionWidth: Int = 10,
       useDisjShape: Boolean = false,
       useDisjunctiveShapeInteraction: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }

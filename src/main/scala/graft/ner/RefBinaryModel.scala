@@ -97,7 +97,11 @@ object RefBinaryModel {
         flag("useSymTags"), flag("usePrevVB"), flag("useNextVB"), flag("useVB"),
         flag("useShapeConjunctions"), flag("useNextSequences"),
         flag("useWideDisjunctive"),
-        flags.fields.get("wideDisjunctionWidth").collect { case i: Int => i }.getOrElse(4),
+        // absent-field fallback = the reference DEFAULT 10
+        // (SeqClassifierFlags.java:194), not MiscOpts' 4 (round-4 advice; the
+        // field is always serialized in stock models, so this only matters
+        // for variant classdescs)
+        flags.fields.get("wideDisjunctionWidth").collect { case i: Int => i }.getOrElse(10),
         flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,

@@ -15,9 +15,20 @@ import java.util.zip.GZIPInputStream
   * string hashes to a missing dictionary entry and changes scores).
   *
   * Sections: labelIndices (per clique group, label windows oldest→newest as
-  * classIndex ids), classIndex, featureIndex, <flags> (skipped — we know the
-  * preset), <featureFactory>, <windowSize>, weights (one row per feature,
-  * column k = labelIndices[group(f)][k]).
+  * classIndex ids), classIndex, featureIndex, <flags> (PARSED + VALIDATED —
+  * see RefTextFlags), <featureFactory>, <windowSize>, weights (one row per
+  * feature, column k = labelIndices[group(f)][k]).
+  *
+  * The `<flags>` block is the training run's property list replayed verbatim:
+  * `serializeTextClassifier` writes `flags.toString()` = `stringRep`, which
+  * `setProperties` builds IN THE ORDER it consumes the properties
+  * (SeqClassifierFlags.java:592-601,1607-1609) — so replaying the lines in
+  * file order through RefTextFlags reproduces the reference's effective
+  * configuration exactly, including the preset-overwrite order quirks. The
+  * loader used to skip this block (trusting the caller to know the preset);
+  * a text model trained with value-changing flags (wordShape, maxLeft,
+  * n-gram options…) would then silently mis-featurize. Now it validates like
+  * the binary loader and flows the supported options into the model.
   *
   * knownLCWords is NOT part of the text format (only the binary one); the
   * caller supplies it — the reference's effective set at tagging time is
@@ -53,9 +64,27 @@ object RefTextModel {
         featureIndex.put(featStrings(f), Integer.valueOf(f))
         f += 1
       }
-      // skip <flags> ... </flags>, <featureFactory>, read <windowSize>
+      // <flags> block: key=value lines in application order (see object doc);
+      // the reference parses with split("=") and Properties.setProperty
+      // (CRFClassifier.java:1401-1412)
       var line = r.readLine()
-      while (line != null && !line.startsWith("<windowSize>")) line = r.readLine()
+      require(line == "<flags>", s"expected <flags>, got '$line'")
+      val props = Vector.newBuilder[(String, String)]
+      line = r.readLine()
+      while (line != null && line != "</flags>") {
+        val eq = line.indexOf('=')
+        require(eq > 0, s"malformed flags line '$line'")
+        props += ((line.substring(0, eq), line.substring(eq + 1)))
+        line = r.readLine()
+      }
+      val fl = RefTextFlags.interpret(props.result())
+      RefTextFlags.validate(fl, gazette)
+      // <featureFactory> name </featureFactory>
+      line = r.readLine()
+      require(line != null && line.startsWith("<featureFactory>"), s"expected <featureFactory>, got '$line'")
+      require(line.contains("edu.stanford.nlp.ie.NERFeatureFactory"),
+        s"unsupported feature factory in '$line' (only NERFeatureFactory templates are implemented)")
+      line = r.readLine()
       val windowSize = line.replace("<windowSize>", "").replace("</windowSize>", "").trim.toInt
       require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
       val wCount = intAfterTab(r.readLine())
@@ -68,7 +97,9 @@ object RefTextModel {
         f += 1
       }
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize, weights,
-        knownLC, gazette)
+        knownLC, gazette, fl.normalizeTerms, fl.useOccurrencePatterns, fl.useReverse,
+        distSim = None, fl.useTags, fl.useTaggySequences, fl.useParenMatching,
+        fl.ngramOpts, fl.disjunctionWidth, fl.miscOpts)
     } finally r.close()
   }
 }
@@ -135,5 +166,183 @@ private[ner] object RefModelAssembly {
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
       useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
+  }
+}
+
+/** Order-faithful interpreter for the reference flag-property lines carried in
+  * a text-serialized model (SeqClassifierFlags.setProperties,
+  * SeqClassifierFlags.java:591-1593). Only the fields that shape FEATURE
+  * STRINGS (or this engine's preprocessing) are tracked; recognized
+  * feature-neutral keys (I/O paths, optimizer settings, evaluation folds) are
+  * accepted and ignored; anything else rejects loudly — an unmodeled key
+  * could change featurization silently, which is exactly the failure mode
+  * this parser exists to close.
+  */
+private[ner] object RefTextFlags {
+
+  final class Effective {
+    // value-changing (validated)
+    var wordShape: Int = -1 // WordShapeClassifier.NOWORDSHAPE (flags default)
+    var maxLeft: Int = 2 // SeqClassifierFlags.java:143
+    var normalizeTerms = false
+    var normalizeTimex = false
+    // flow into the model
+    var useReverse = false
+    var useOccurrencePatterns = false
+    var useTags = false
+    var useTaggySequences = false
+    var useParenMatching = false
+    var useDistSim = false
+    var useGazettes = false
+    var maxNGramLeng: Int = -1
+    var noMidNGrams = false
+    var lowercaseNGrams = false
+    var dehyphenateNGrams = false
+    var greekifyNGrams = false
+    var conjoinShapeNGrams = false
+    var disjunctionWidth = 4
+    var wideDisjunctionWidth = 10 // SeqClassifierFlags.java:194
+    // misc families + must-be-false families, all default false
+    val bool = scala.collection.mutable.Map.empty[String, Boolean].withDefaultValue(false)
+
+    def ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts(maxNGramLeng,
+      noMidNGrams, lowercaseNGrams, dehyphenateNGrams, greekifyNGrams, conjoinShapeNGrams)
+    def miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts(
+      bool("usetitle"), bool("useposition"), bool("usebeginsent"), bool("usesymwordpairs"),
+      bool("usefirstword"), bool("useordinal"), bool("usemoretags"), bool("useeithersideword"),
+      bool("usewordtag"), bool("useeithersidedisjunctive"), bool("useextrataggysequences"),
+      bool("usetypeseqs3"), bool("usetaggysequencesshapeinteraction"), bool("usesymtags"),
+      bool("useprevvb"), bool("usenextvb"), bool("usevb"), bool("useshapeconjunctions"),
+      bool("usenextsequences"), bool("usewidedisjunctive"), wideDisjunctionWidth,
+      bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"))
+  }
+
+  /** Families the model may have been trained with or without — either way
+    * the encodings stay identical (unseen features hash-miss and drop,
+    * CRFClassifier.java:200-207), so the keys are accepted without tracking.
+    */
+  private val familyKeys = Set(
+    "useword", "useprev", "usenext", "usewordpairs", "usesequences",
+    "useprevsequences", "uselongsequences", "useboundarysequences",
+    "usetypeseqs", "usetypeseqs2", "usetypeysequences", "usengrams",
+    "usedisjunctive", "uselastrealword", "usenextrealword", "useclassfeature")
+
+  /** Misc-family booleans tracked into MiscOpts (lowercased key names). */
+  private val miscKeys = Set(
+    "usetitle", "useposition", "usebeginsent", "usesymwordpairs", "usefirstword",
+    "useordinal", "usemoretags", "useeithersideword", "usewordtag",
+    "useeithersidedisjunctive", "useextrataggysequences", "usetypeseqs3",
+    "usetaggysequencesshapeinteraction", "usesymtags", "useprevvb", "usenextvb",
+    "usevb", "useshapeconjunctions", "usenextsequences", "usewidedisjunctive",
+    "usedisjshape", "usedisjunctiveshapeinteraction")
+
+  /** Same closure as RefBinaryModel.validateFlags: families whose features
+    * this engine cannot emit (external annotations/resources).
+    */
+  private val mustBeFalse = Seq("useABGENE", "useWEB",
+    "useNPHead", "useNPGovernor", "useChunks", "useAbbr", "useMinimalAbbr",
+    "useMinimalAbbr1", "useIsURL", "useEntityTypes", "useAbbr1",
+    "useWEBFreqDict", "useUnknown", "useURLSequences", "usePrevNextLemmas",
+    "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
+    "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
+    "useGENIA", "useFREQ", "useEntityTypeSequences", "useEntityRule",
+    "useChunkySequences", "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
+  private val mustBeFalseLower = mustBeFalse.map(k => k.toLowerCase -> k).toMap
+
+  /** Feature-neutral keys: I/O, reader/encoding, optimizer, evaluation —
+    * accepted and ignored (they cannot change a feature string).
+    */
+  private val neutralKeys = Set(
+    "trainfile", "trainfilelist", "testfile", "serializeto", "serializetotext",
+    "loadclassifier", "loadtextclassifier", "map", "readerandwriter",
+    "inputencoding", "outputencoding", "encoding", "sigma", "adaptsigma",
+    "epsilon", "tolerance", "qnsize", "useqn", "maxiterations", "numfolds",
+    "startfold", "endfold", "mergetags", "justify", "printfeatures",
+    "savefeatureindextodisk", "useobservedsequencesonly", "normalize",
+    "interimoutputfreq", "printprobs", "printfirstorderprobs", "keepemptysentences")
+
+  /** dan2UseLC is the only shaper this engine implements (byte-exact,
+    * text/WordShape.scala); WordShapeClassifier.lookupShaper name -> id.
+    */
+  private def shaperId(name: String): Int =
+    if (name.equalsIgnoreCase("dan2useLC")) 3 else Int.MinValue
+
+  def interpret(props: Seq[(String, String)]): Effective = {
+    val f = new Effective
+    def b(v: String): Boolean = java.lang.Boolean.parseBoolean(v)
+    for ((key, value) <- props) {
+      val k = key.toLowerCase
+      k match {
+        // ---- presets (tracked-field assignments only; each preset fires
+        // only on a true value, SeqClassifierFlags.java:604+) ----
+        case "macro" => if (b(value)) { // :603-637
+          f.useTaggySequences = true; f.useTags = true; f.noMidNGrams = true
+          f.useReverse = true; f.wordShape = 3; f.useOccurrencePatterns = true
+          f.normalizeTimex = true
+        }
+        case "goodconll" => if (b(value)) { // :638-683
+          f.useTaggySequences = true; f.useTags = true; f.noMidNGrams = true
+          f.useReverse = false; f.wordShape = 3; f.useOccurrencePatterns = true
+          f.normalizeTimex = true; f.maxLeft = 2; f.disjunctionWidth = 4
+          f.bool("uselemmas") = true; f.bool("useprevnextlemmas") = true
+        }
+        case "conllnotags" => if (b(value)) { // :684-727
+          f.noMidNGrams = true; f.useReverse = false; f.wordShape = 3
+          f.normalizeTimex = true; f.maxLeft = 2; f.disjunctionWidth = 4
+        }
+        case "notags" => if (b(value)) { // :728-737
+          f.useTags = false; f.useTaggySequences = false
+          f.useOccurrencePatterns = false; f.bool("usesymtags") = false
+        }
+        // ---- tracked scalar fields ----
+        case "wordshape" => f.wordShape = shaperId(value)
+        case "maxleft" => f.maxLeft = value.trim.toInt
+        case "maxngramleng" => f.maxNGramLeng = value.trim.toInt
+        case "disjunctionwidth" => f.disjunctionWidth = value.trim.toInt
+        case "widedisjunctionwidth" => f.wideDisjunctionWidth = value.trim.toInt
+        // ---- tracked booleans ----
+        case "normalizeterms" => f.normalizeTerms = b(value)
+        case "normalizetimex" => f.normalizeTimex = b(value)
+        case "usereverse" => f.useReverse = b(value)
+        case "useoccurrencepatterns" => f.useOccurrencePatterns = b(value)
+        case "usetags" => f.useTags = b(value)
+        case "usetaggysequences" => f.useTaggySequences = b(value)
+        case "useparenmatching" => f.useParenMatching = b(value)
+        case "usedistsim" => f.useDistSim = b(value)
+        case "usegazettes" => f.useGazettes = b(value)
+        case "nomidngrams" => f.noMidNGrams = b(value)
+        case "lowercasengrams" => f.lowercaseNGrams = b(value)
+        case "dehyphenatengrams" => f.dehyphenateNGrams = b(value)
+        case "greekifyngrams" => f.greekifyNGrams = b(value)
+        case "conjoinshapengrams" => f.conjoinShapeNGrams = b(value)
+        case _ if miscKeys(k) => f.bool(k) = b(value)
+        case _ if mustBeFalseLower.contains(k) => f.bool(k) = b(value)
+        case _ if familyKeys(k) || neutralKeys(k) => () // accepted, untracked
+        case _ => throw new IllegalArgumentException(
+          s"text model flag '$key=$value' is not modeled by this loader — " +
+            "refusing to load (an unmodeled flag could silently change featurization)")
+      }
+    }
+    f
+  }
+
+  def validate(f: Effective, gazette: Gazette): Unit = {
+    // value-changing checks, mirroring RefBinaryModel.validateFlags
+    require(f.maxLeft == 2, s"maxLeft ${f.maxLeft} != 2")
+    require(f.wordShape == 3,
+      s"wordShape ${f.wordShape} != 3 (dan2useLC) — shape function mismatch")
+    // this engine's preprocessing bakes the timex word fix in (every 3-class
+    // preset sets normalizeTimex; ObjectBankWrapper.java:118 applies the fix
+    // under normalizeTerms || normalizeTimex) — a model trained with BOTH off
+    // would see different month/day featurization
+    require(f.normalizeTimex || f.normalizeTerms,
+      "model was trained without normalizeTimex/normalizeTerms: this engine's timex word fix would mis-featurize it")
+    for ((lower, orig) <- mustBeFalseLower)
+      require(!f.bool(lower),
+        s"model was trained with -$orig: that feature family is not in this engine's template set")
+    require(!f.useDistSim,
+      "model was trained with -useDistSim: the text format does not carry the distsim lexicon (use the binary .ser.gz loader)")
+    require(!f.useGazettes || !gazette.isEmpty,
+      "model was trained with -useGazettes: the text format does not carry gazette maps — supply the Gazette to load()")
   }
 }

@@ -40,7 +40,12 @@ final class NerServlet(port: Int, models: Map[String, NerModel], defaultClassifi
         val preserveSpacing = param("preserveSpacing")
           .map(_.trim.toLowerCase == "true").getOrElse(spacing)
         val classifier = param("classifier").getOrElse(defaultClassifier)
-        val model = models.getOrElse(classifier, models(defaultClassifier))
+        // unknown classifier name -> HTTP 500, mirroring the reference's NPE
+        // on classifierMap.get(classifier) (NERServlet.java:99-104); the old
+        // silent fallback echoed a classifier that did not serve the request
+        // (round-4 advice)
+        val model = models.getOrElse(classifier,
+          throw new NoSuchElementException(s"unknown classifier '$classifier'"))
         val body =
           if (outputFormat == "offsets") NerServlet.renderOffsets(model, input)
           else NerServer.classifyToString(model, input, outputFormat, preserveSpacing)

@@ -1024,4 +1024,95 @@ class RefBridgeSpec extends AnyFunSuite {
       reverseOurs = true, sigma = "5.0")
     assert(agreement >= 0.995, s"agreement $agreement")
   }
+
+  test("TEXT FLAGS differential: flag-bearing serializeToText model loads via the PARSED flags block") {
+    // Round-5 closure of the last RefTextModel gap: the loader used to skip
+    // the <flags> block, so a text model trained with option-bearing flags
+    // silently loaded with defaults. Now the block (the training run's
+    // property list, replayed in application order) drives the model's
+    // options — this leg passes NO option hints to load() and the recovered
+    // flags must still reproduce the reference's tags. Families chosen are
+    // self-contained and untouched by conllNoTags, so the property order is
+    // not load-bearing.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/reftextflags"
+    RefFixtures.main(Array(dir))
+    val flags = Seq("-conllNoTags", "true", "-useParenMatching", "true",
+      "-useSymTags", "true", "-useNextSequences", "true")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ flags).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz") == 0,
+      "reference training failed")
+    assert(ref("-loadClassifier", s"$dir/ref.ser.gz", "-serializeToText", s"$dir/ref.txt.gz") == 0,
+      "reference text export failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv") ++ flags
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = RefTextModel.load(s"$dir/ref.txt.gz", lcWords("train.tsv") ++ lcWords("test.tsv"))
+    // the options must come from the flags block, not caller defaults
+    assert(model.useParenMatching, "useParenMatching not recovered from the flags block")
+    assert(model.miscOpts.useSymTags, "useSymTags not recovered from the flags block")
+    assert(model.miscOpts.useNextSequences, "useNextSequences not recovered from the flags block")
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (words, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tag(words)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${words(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"text-flags token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
+  test("TEXT FLAGS validation: unmodeled / value-changing / resource-dependent flags reject loudly") {
+    val src = Paths.get("/tmp/refbridge/ref.txt.gz")
+    assume(Files.exists(src), "bridge artifacts not present (bridge test skipped?)")
+    // patch extra key=value lines into the <flags> block (appended at the
+    // end = applied LAST, so they override the preset — the same order
+    // semantics setProperties has)
+    def patched(extra: Seq[String]): String = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(Files.newInputStream(src)), "UTF-8"))
+      val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+        finally in.close()
+      val i = lines.indexOf("</flags>")
+      require(i > 0, "no flags block in the bridge text model")
+      val out = Files.createTempFile("graft_textflags_", ".txt.gz")
+      val w = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(out)))
+      try lines.patch(i, extra, 0).foreach(w.println) finally w.close()
+      out.toString
+    }
+    def rejects(extra: String, msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.ner.RefTextModel.load(patched(Seq(extra)), Set.empty)
+      }
+      assert(e.getMessage.toLowerCase.contains(msgPart.toLowerCase),
+        s"'$extra' rejected with unexpected message: ${e.getMessage}")
+    }
+    rejects("useDistSim=true", "distsim lexicon")
+    rejects("useChunks=true", "useChunks")
+    rejects("someNovelFlag=true", "not modeled")
+    rejects("normalizeTimex=false", "timex")
+    rejects("wordShape=chris2useLC", "wordShape")
+    rejects("maxLeft=1", "maxLeft")
+    // and the unpatched model still loads fine through the same code path
+    assert(graft.ner.RefTextModel.load(patched(Seq.empty), Set.empty).numFeatures > 0)
+  }
 }

@@ -54,9 +54,18 @@ class NerServletSpec extends AnyFunSuite {
       assert(post(servlet.boundPort, "input" -> text,
         "preserveSpacing" -> "false") ==
         NerServer.classifyToString(model, text, spacing = false))
-      // unknown classifier name falls back to the default's model
+      // a KNOWN classifier name serves and echoes itself
       val (b3, h3) = get(servlet.boundPort, "input" -> text, "classifier" -> "ner3")
       assert(b3 == body && h3("classifier") == "ner3")
+      // a genuinely UNKNOWN name is an HTTP 500, mirroring the reference's
+      // NPE on classifierMap.get (NERServlet.java:99-104) — the old silent
+      // fallback echoed a classifier that did not serve the request
+      val conn = new java.net.URI(
+        s"http://localhost:${servlet.boundPort}/ner?input=x&classifier=nope").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 500)
+      val err = new String(conn.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(err.contains("unknown classifier 'nope'"), err)
     } finally servlet.close()
   }
 
