@@ -352,13 +352,53 @@ object SparkEntry {
     // could not certify.
     "q48_crf_trained" -> ((s, d) => {
       import s.implicits._
-      val bc = s.sparkContext.broadcast(TrainedCrf.model(s))
-      t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-        .as[(Long, Seq[String])]
-        .flatMap { case (id, tk) =>
-          val tags = bc.value.tag(tk.toIndexedSeq)
-          tk.indices.map(i => (id, i, tk(i), tags(i)))
-        }.toDF("doc_id", "pos", "token", "tag")
+      val (docs, bc) = trainedOver(s, d)
+      docs.flatMap { case (id, tk) =>
+        val tags = bc.value.tag(tk.toIndexedSeq)
+        tk.indices.map(i => (id, i, tk(i), tags(i)))
+      }.toDF("doc_id", "pos", "token", "tag")
+    }),
+    // q49-q53: the whole KG pipeline over the TRAINED model — the same REAL
+    // code paths the hash-CRF rows certify (Tagger.spansOfSentence,
+    // TripleRules.fromSentence, EntityLink.link, the GraphMaterializer
+    // rollups), now with learned weights, each stage hash-gated.
+    "q49_crf_trained_spans" -> ((s, d) => {
+      import s.implicits._
+      val (docs, bc) = trainedOver(s, d)
+      crfMentionsOf(s, docs, bc)
+        .map(m => (m.conv_id.toLong, m.etype, m.begin_char, m.end_char, m.surface))
+        .toDF("doc_id", "etype", "begin_char", "end_char", "surface")
+    }),
+    "q50_crf_trained_triples" -> ((s, d) => {
+      val (docs, bc) = trainedOver(s, d)
+      crfTriplesOf(s, docs, bc)
+    }),
+    "q51_trained_entity_link" -> ((s, d) => {
+      val (docs, bc) = trainedOver(s, d)
+      EntityLink.link(crfMentionsOf(s, docs, bc))
+        .select(col("etype"), col("surface"), col("surface_id"), col("n_mentions"),
+          col("entity_id"), col("canonical_surface"))
+    }),
+    "q52_trained_graph_nodes" -> ((s, d) => {
+      val (docs, bc) = trainedOver(s, d)
+      EntityLink.link(crfMentionsOf(s, docs, bc))
+        .groupBy(col("entity_id"), col("etype"))
+        .agg(sum(col("n_mentions")).as("n_mentions"),
+          max(struct(col("n_mentions").as("c"), col("canonical_surface").as("s")))
+            .getField("s").as("canonical_surface"),
+          count(lit(1)).as("n_surfaces"))
+    }),
+    "q53_trained_graph_edges" -> ((s, d) => {
+      val (docs, bc) = trainedOver(s, d)
+      val tps = crfTriplesOf(s, docs, bc)
+      val linked = EntityLink.link(crfMentionsOf(s, docs, bc)).localCheckpoint()
+      val surfMap = graft.kg.GraphMaterializer.surfaceMap(linked).drop("canonical_surface")
+      tps.join(surfMap.withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
+          .withColumnRenamed("entity_id", "subj_id"), Seq("subj_type", "subj"))
+        .join(surfMap.withColumnRenamed("etype", "obj_type").withColumnRenamed("surface", "obj")
+          .withColumnRenamed("entity_id", "obj_id"), Seq("obj_type", "obj"))
+        .groupBy(col("subj_id"), col("pred"), col("obj_id"))
+        .agg(count(lit(1)).as("weight"))
     }),
 
     // ===== ObjectBank record-iterator sources (reference objectbank/
@@ -432,13 +472,15 @@ object SparkEntry {
     (raws, tk.mkString(" "))
   }
 
-  /** The hash-CRF mention stream shared by q42/q44: tag every doc, run the
-    * REAL Tagger.spansOfSentence fold.
+  /** Mention stream over any (docs, broadcast model) pair: tag every doc, run
+    * the REAL Tagger.spansOfSentence fold. Shared by the hash-CRF (q42/q44-46)
+    * and trained-CRF (q49/q51-53) gate queries.
     */
-  private def hashCrfMentions(s: SparkSession, d: String):
+  private def crfMentionsOf(s: SparkSession,
+      docs: org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      bc: org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]):
       org.apache.spark.sql.Dataset[graft.pipeline.Mention] = {
     import s.implicits._
-    val (docs, bc) = hashCrfOver(s, d)
     docs.flatMap { case (id, tk) =>
       val tags = bc.value.tag(tk.toIndexedSeq)
       val (raws, text) = joinedTokens(tk)
@@ -447,12 +489,13 @@ object SparkEntry {
     }
   }
 
-  /** The hash-CRF triple stream (q43/q46): tag -> REAL span fold -> REAL
-    * TripleRules.fromSentence per doc.
+  /** Triple stream over any (docs, broadcast model) pair: tag -> REAL span
+    * fold -> REAL TripleRules.fromSentence per doc.
     */
-  private def hashCrfTriples(s: SparkSession, d: String): DataFrame = {
+  private def crfTriplesOf(s: SparkSession,
+      docs: org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      bc: org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]): DataFrame = {
     import s.implicits._
-    val (docs, bc) = hashCrfOver(s, d)
     docs.flatMap { case (id, tk) =>
       val tags = bc.value.tag(tk.toIndexedSeq)
       val (raws, text) = joinedTokens(tk)
@@ -462,6 +505,23 @@ object SparkEntry {
         .map(t => (id, t.subj, t.subj_type, t.pred, t.obj, t.obj_type))
     }.toDF("doc_id", "subj", "subj_type", "pred", "obj", "obj_type")
   }
+
+  private def hashCrfMentions(s: SparkSession, d: String):
+      org.apache.spark.sql.Dataset[graft.pipeline.Mention] = {
+    val (docs, bc) = hashCrfOver(s, d)
+    crfMentionsOf(s, docs, bc)
+  }
+
+  private def hashCrfTriples(s: SparkSession, d: String): DataFrame = {
+    val (docs, bc) = hashCrfOver(s, d)
+    crfTriplesOf(s, docs, bc)
+  }
+
+  /** Tokenized documents + the broadcast TRAINED model (q48-q53). */
+  private def trainedOver(s: SparkSession, d: String): (
+      org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]) =
+    (tokDocs(s, d), s.sparkContext.broadcast(TrainedCrf.model(s)))
 
   /** Tokenized documents + the broadcast hash-CRF over their vocabulary
     * (shared by q41-q46). The dictionary build is a vocabulary-sized driver
@@ -490,12 +550,19 @@ object SparkEntry {
     hashCrfMemo._2
   }
 
+  /** Tokenized documents table (the shared tag-corpus shape of q41-q53). */
+  private def tokDocs(s: SparkSession, d: String):
+      org.apache.spark.sql.Dataset[(Long, Seq[String])] = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+      .as[(Long, Seq[String])]
+  }
+
   private def buildHashCrf(s: SparkSession, d: String): (
       org.apache.spark.sql.Dataset[(Long, Seq[String])],
       org.apache.spark.broadcast.Broadcast[graft.ner.NerModel]) = {
     import s.implicits._
-    val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-      .as[(Long, Seq[String])]
+    val docs = tokDocs(s, d)
     val words = docs.flatMap(_._2).distinct().collect().sorted
     val shapes = words.map(w => graft.text.WordShape.dan2NoLC(w)).distinct.sorted
     val pairs = docs.flatMap { case (_, tk) =>
@@ -796,9 +863,11 @@ object SparkEntry {
     * text (begin = prefix sum of token lengths + gaps — the engine side
     * computes the same offsets and runs the REAL Tagger.spansOfSentence).
     */
-  private val crfSpanCtes: String =
-    s"""$crfTagsCtes,
-       |offs AS MATERIALIZED (SELECT doc_id, i, w, tag,
+  /** Span tail over a `tags(doc_id, i, w, tag)` relation — shared by the
+    * hash-CRF (q42-q46) and trained-CRF (q49-q53) oracle chains.
+    */
+  private val spanTailCtes: String =
+    s"""offs AS MATERIALIZED (SELECT doc_id, i, w, tag,
        |    CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
        |  FROM tags),
@@ -811,6 +880,8 @@ object SparkEntry {
        |    array_to_string(list(w ORDER BY i), ' ') AS surface
        |  FROM runs GROUP BY doc_id, tag, grp)""".stripMargin
 
+  private val crfSpanCtes: String = s"$crfTagsCtes,\n$spanTailCtes"
+
   private val crfSpansOracleSql: String =
     s"""$crfSpanCtes
        |SELECT doc_id, etype, begin_char, end_char, surface FROM spans""".stripMargin
@@ -822,12 +893,14 @@ object SparkEntry {
     * predicate, else CO_OCCURS (kg/TripleRules.scala semantics, embedded
     * trigger table generated from the same Scala map).
     */
-  private val crfTripleCtes: String = {
+  /** Triple tail over `spans` + `offs` — shared by the hash-CRF and
+    * trained-CRF oracle chains.
+    */
+  private val tripleTailCtes: String = {
     val trigRows = TripleRules.triggers.toSeq.sortBy(_.toString).map {
       case ((w, st, ot), pred) => s"('$w','$st','$ot','$pred')"
     }.mkString(",")
-    s"""$crfSpanCtes,
-       |ordered AS (SELECT doc_id, etype, begin_char, end_char, surface,
+    s"""ordered AS (SELECT doc_id, etype, begin_char, end_char, surface,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY begin_char) rn FROM spans),
        |mpairs AS MATERIALIZED (SELECT a.doc_id, a.rn, a.etype atyp, a.end_char aec, a.surface asur,
        |    b.etype btyp, b.begin_char bbc, b.surface bsur
@@ -844,6 +917,8 @@ object SparkEntry {
        |  coalesce(f.pred, 'CO_OCCURS') AS pred, p.bsur AS obj, p.btyp AS obj_type
        |FROM mpairs p LEFT JOIN firsthit f ON f.doc_id = p.doc_id AND f.rn = p.rn)""".stripMargin
   }
+
+  private val crfTripleCtes: String = s"$crfSpanCtes,\n$tripleTailCtes"
 
   private val crfTriplesOracleSql: String =
     s"""$crfTripleCtes
@@ -1020,7 +1095,7 @@ object SparkEntry {
     * engine's idsAt iteration adds them (WORD then TYPE; PSEQ then TYPES).
     * The Viterbi tail is shared with q41 verbatim.
     */
-  private def crfTrainedOracleSql: String = {
+  private def crfTrainedTagsCtes: String = {
     val m = TrainedCrf.model()
     def esc(s: String) = s.replace("'", "''")
     val names = new Array[String](m.featureIndex.size)
@@ -1063,13 +1138,64 @@ object SparkEntry {
        |pots AS MATERIALIZED (SELECT p9.doc_id, p9.i, any_value(w.n) n, list(pot ORDER BY col) pot9
        |  FROM p9 JOIN wrow w ON w.doc_id = p9.doc_id AND w.i = p9.i
        |  GROUP BY p9.doc_id, p9.i),
-       |${viterbiTailCtes(Seq("O", "ENT", "OP"))}
-       |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS token, tag FROM tags""".stripMargin
+       |${viterbiTailCtes(Seq("O", "LOCATION", "PERSON"))}""".stripMargin
   }
+
+  private def crfTrainedOracleSql: String =
+    s"""$crfTrainedTagsCtes
+       |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS token, tag FROM tags""".stripMargin
+
+  // q49-q53: the ENTIRE KG pipeline over the TRAINED model — the same span /
+  // triple / link / rollup CTE tails the hash-CRF oracles certify, stacked on
+  // the learned-weight potentials, so every stage of
+  // text -> tags -> spans -> triples -> linked entities -> graph has BOTH a
+  // hash-weight and a trained-weight hash-exact certificate.
+  private def crfTrainedSpansOracleSql: String =
+    s"""$crfTrainedTagsCtes,
+       |$spanTailCtes
+       |SELECT doc_id, etype, begin_char, end_char, surface FROM spans""".stripMargin
+
+  private def crfTrainedTriplesOracleSql: String =
+    s"""$crfTrainedTagsCtes,
+       |$spanTailCtes,
+       |$tripleTailCtes
+       |SELECT doc_id, subj, subj_type, pred, obj, obj_type FROM trips""".stripMargin
+
+  private def crfTrainedLinkOracleSql: String =
+    s"""$crfTrainedTagsCtes,
+       |$spanTailCtes,
+       |$linkCtes
+       |SELECT etype, surface, surface_id, n_mentions, entity_id, canonical_surface FROM linkedo""".stripMargin
+
+  private def crfTrainedNodesOracleSql: String =
+    s"""$crfTrainedTagsCtes,
+       |$spanTailCtes,
+       |$linkCtes
+       |SELECT entity_id, etype, CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+       |  (max(struct_pack(c := n_mentions, s := canonical_surface))).s AS canonical_surface,
+       |  CAST(count(*) AS BIGINT) AS n_surfaces
+       |FROM linkedo GROUP BY 1, 2""".stripMargin
+
+  private def crfTrainedEdgesOracleSql: String =
+    s"""$crfTrainedTagsCtes,
+       |$spanTailCtes,
+       |$tripleTailCtes,
+       |$linkCtes
+       |SELECT sm1.entity_id AS subj_id, t.pred, sm2.entity_id AS obj_id,
+       |  CAST(count(*) AS BIGINT) AS weight
+       |FROM trips t
+       |JOIN linkedo sm1 ON sm1.etype = t.subj_type AND sm1.surface = t.subj
+       |JOIN linkedo sm2 ON sm2.etype = t.obj_type AND sm2.surface = t.obj
+       |GROUP BY 1, 2, 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q48_crf_trained" -> crfTrainedOracleSql,
+    "q49_crf_trained_spans" -> crfTrainedSpansOracleSql,
+    "q50_crf_trained_triples" -> crfTrainedTriplesOracleSql,
+    "q51_trained_entity_link" -> crfTrainedLinkOracleSql,
+    "q52_trained_graph_nodes" -> crfTrainedNodesOracleSql,
+    "q53_trained_graph_edges" -> crfTrainedEdgesOracleSql,
     "q47_crf_kbest" -> crfKbestOracleSql,
     "q42_crf_spans" -> crfSpansOracleSql,
     "q43_crf_triples" -> crfTriplesOracleSql,

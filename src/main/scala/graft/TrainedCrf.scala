@@ -43,9 +43,13 @@ object TrainedCrf {
   private val Ents = Set("spark", "customer", "table", "row", "column", "line", "data", "stream")
 
   /** 48 docs x 10-17 tokens, pure in the doc index via splitmix64. Labels are
-    * CONTEXT-dependent — an operator word is labeled OP only after a
-    * determiner or an entity word — so the transition features (PSEQ, shape
-    * pairs) carry real signal and L-BFGS gives them non-trivial weights.
+    * CONTEXT-dependent — an operator word is labeled only after a determiner
+    * or an entity word — so the transition features (PSEQ, shape pairs) carry
+    * real signal and L-BFGS gives them non-trivial weights. The label NAMES
+    * reuse the standard 3-class set (entity words -> LOCATION, contextual
+    * operator words -> PERSON) so the trained tag stream flows through the
+    * regular KG machinery (span fold, entity linking, graph rollups) for the
+    * q49-q53 trained-pipeline oracles.
     */
   def corpus: Seq[LabeledDoc] = (0 until 48).map { d =>
     val n = (10 + (Transcripts.splitmix64(0x48c0L + d) & 7)).toInt
@@ -54,8 +58,8 @@ object TrainedCrf {
     }
     val labels = words.zipWithIndex.map { case (w, i) =>
       val prev = if (i == 0) "" else words(i - 1)
-      if (Ops(w) && (prev == "the" || prev == "a" || Ents(prev))) "OP"
-      else if (Ents(w)) "ENT"
+      if (Ops(w) && (prev == "the" || prev == "a" || Ents(prev))) "PERSON"
+      else if (Ents(w)) "LOCATION"
       else "O"
     }
     LabeledDoc(words, labels)

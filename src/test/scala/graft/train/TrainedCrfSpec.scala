@@ -27,7 +27,7 @@ class TrainedCrfSpec extends AnyFunSuite {
     }
     info(s"dictionary: $nWord WORD + $nType TYPE + $nPseq PSEQ + $nTypes TYPES = ${model.numFeatures}")
     assert(nWord > 0 && nType > 0 && nPseq == 1 && nTypes > 0)
-    assert(model.classIndex.toSeq == Seq("O", "ENT", "OP"))
+    assert(model.classIndex.toSeq == Seq("O", "LOCATION", "PERSON"))
     assert(model.knownLC.isEmpty, "maxKnownLCWords=0 must freeze an empty knownLC set")
     assert(model.weights.forall(_.forall(w => !w.isNaN && !w.isInfinite)))
   }
