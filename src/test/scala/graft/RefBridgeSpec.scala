@@ -1025,6 +1025,275 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("MARGINALS differential: cliqueTree prob() matches the reference's -printProbs / -printFirstOrderProbs") {
+    // CRFCliqueTree.prob (unary marginals, CRFClassifier.printProbsDocument
+    // :803-827; pairwise first-order marginals, printFirstOrderProbsDocument
+    // :894-935) against our Crf.Marginals on the SAME bridged weights — the
+    // marginal-query row was previously enumeration-verified only on random
+    // synthetic models. Values are NOT bit-comparable: the reference's
+    // calibration runs through ArrayMath.logSum, which DROPS terms below
+    // max - LOGTOLERANCE(=30) (SloppyMath.java:196, ArrayMath.java:834) and
+    // accumulates float error across message passing — observed drift vs our
+    // values is up to ~2e-6 absolute on this corpus. The ARBITRATION step
+    // below settles which side carries the error: on every short doc our
+    // prob() equals full 3^n enumeration over the SAME bridged potentials to
+    // < 1e-10, so the residual is reference-side. Compare ref-vs-ours to
+    // 1e-5 absolute (probabilities in [0,1]; far below any decision
+    // boundary), and print the observed max for the record.
+    val dir = "/tmp/refbridge"
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$dir/ref.ser.gz")), "bridge artifacts not present")
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    def run(flag: String, out: String): Unit = {
+      val cmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier",
+        "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv",
+        "-conllNoTags", "true", flag, "true")
+      assert((cmd #> new java.io.File(s"$dir/$out")).! == 0, s"$flag run failed")
+    }
+    run("-printProbs", "ref_probs.tsv")
+    run("-printFirstOrderProbs", "ref_fo_probs.tsv")
+    // parse blank-line-separated docs of "word\tLABEL=prob\t..." lines
+    def parse(path: String): Vector[Vector[(String, Map[String, Double])]] = {
+      val docs = Vector.newBuilder[Vector[(String, Map[String, Double])]]
+      var cur = Vector.newBuilder[(String, Map[String, Double])]
+      var any = false
+      Files.readAllLines(Paths.get(s"$dir/$path")).asScala.foreach { line =>
+        if (line.trim.isEmpty) { if (any) { docs += cur.result(); cur = Vector.newBuilder; any = false } }
+        else {
+          val parts = line.split("\t")
+          val probs = parts.drop(1).map { kv =>
+            val eq = kv.lastIndexOf('=')
+            kv.substring(0, eq) -> kv.substring(eq + 1).toDouble
+          }.toMap
+          cur += ((parts(0), probs)); any = true
+        }
+      }
+      if (any) docs += cur.result()
+      docs.result()
+    }
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    def words(conv: String, turnIdx: Int): Vector[String] = {
+      val convId = conv.stripPrefix("conv").toLong
+      graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)._1
+    }
+    val un = parse("ref_probs.tsv")
+    assert(un.length == meta.length, s"printProbs docs ${un.length} != ${meta.length}")
+    var nUnary = 0L; var maxUnaryDiff = 0.0
+    meta.zip(un).foreach { case ((conv, turnIdx, n), theirs) =>
+      val ws = words(conv, turnIdx)
+      require(theirs.length == n)
+      val ct = model.cliqueTree(ws)
+      for (i <- 0 until n; (label, refP) <- theirs(i)._2) {
+        val ours = ct.prob(i, model.classOf(label))
+        val d = math.abs(ours - refP)
+        maxUnaryDiff = math.max(maxUnaryDiff, d)
+        assert(d < 1e-5, s"$conv/$turnIdx pos $i $label: ours=$ours ref=$refP")
+        nUnary += 1
+      }
+    }
+    val fo = parse("ref_fo_probs.tsv")
+    assert(fo.length == meta.length)
+    var nPair = 0L; var maxPairDiff = 0.0
+    meta.zip(fo).foreach { case ((conv, turnIdx, n), theirs) =>
+      val ws = words(conv, turnIdx)
+      val ct = model.cliqueTree(ws)
+      for (i <- 0 until n; (label, refP) <- theirs(i)._2) {
+        val ours =
+          if (i == 0) ct.prob(0, model.classOf(label))
+          else {
+            // "prev_cur=prob" (printFirstOrderProbsDocument :915-930); label
+            // names carry no underscores in this 3-class set
+            val Array(prev, curr) = label.split("_")
+            ct.prob(i, Array(model.classOf(prev), model.classOf(curr)))
+          }
+        val d = math.abs(ours - refP)
+        maxPairDiff = math.max(maxPairDiff, d)
+        assert(d < 1e-5, s"$conv/$turnIdx pos $i $label: ours=$ours ref=$refP")
+        nPair += 1
+      }
+    }
+    info(f"unary marginals: $nUnary%d compared, max |diff| = $maxUnaryDiff%.3g; " +
+      f"pairwise: $nPair%d compared, max |diff| = $maxPairDiff%.3g")
+    assert(nUnary > 10000 && nPair > 10000, "differential must cover a real volume of marginals")
+
+    // ---- arbitration: our prob() vs full enumeration on the bridged model ----
+    import graft.core.Crf
+    var nEnum = 0L; var maxEnumDiff = 0.0
+    meta.filter(_._3 <= 8).take(20).foreach { case (conv, turnIdx, n) =>
+      val ws = words(conv, turnIdx)
+      val toks = model.preprocess(ws)
+      val enc = graft.train.Trainer.encodeWith(toks, model.featureIndex, model.gazette,
+        model.useOccurrencePatterns, model.distSim.isDefined, model.useTags,
+        model.useTaggySequences, model.useReverse, model.useParenMatching,
+        model.ngramOpts, model.disjunctionWidth, model.miscOpts)
+      val p = model.params
+      val pots = Crf.logPotentials(enc, p)
+      val nc = p.numClasses
+      val seqScores = new Array[Double](math.pow(nc, n).toInt)
+      for (code <- seqScores.indices) {
+        var e = code
+        val arr = new Array[Int](n)
+        var i = n - 1
+        while (i >= 0) { arr(i) = e % nc; e /= nc; i -= 1 }
+        var sc = 0.0
+        for (pos <- 0 until n) sc += pots(pos)(Crf.windowEnc(arr, pos, p))
+        seqScores(code) = sc
+      }
+      val mx = seqScores.max
+      val z = mx + math.log(seqScores.map(s => math.exp(s - mx)).sum)
+      val ct = model.cliqueTree(ws)
+      for (pos <- 0 until n; c <- 0 until nc) {
+        val want = seqScores.indices.collect { case code
+          if (code / math.pow(nc, n - 1 - pos).toInt) % nc == c =>
+            math.exp(seqScores(code) - z)
+        }.sum
+        val got = ct.prob(pos, c)
+        maxEnumDiff = math.max(maxEnumDiff, math.abs(got - want))
+        assert(math.abs(got - want) < 1e-10,
+          s"$conv/$turnIdx pos $pos class $c: ours=$got enum=$want")
+        nEnum += 1
+      }
+    }
+    info(f"arbitration: $nEnum%d marginals vs 3^n enumeration on the bridged model, max |diff| = $maxEnumDiff%.3g")
+    assert(nEnum > 200)
+  }
+
+  test("K-BEST differential: tagKBest matches the reference's -useKBest output") {
+    // classifyAndWriteAnswersKBest (AbstractSequenceClassifier.java:793-841 /
+    // CRFClassifier main :1747-1750) drives KBestSequenceFinder through the
+    // CLI; our Crf.kBestViterbi was previously certified vs enumeration and
+    // the q47 hash-weight SQL oracle — this leg pins it against the
+    // reference's own output (sequence order AND content) on real trained
+    // weights.
+    val dir = "/tmp/refbridge"
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$dir/ref.ser.gz")), "bridge artifacts not present")
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    val k = 3
+    val cmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv",
+      "-conllNoTags", "true", "-useKBest", "true", "-kBest", k.toString)
+    assert((cmd #> new java.io.File(s"$dir/ref_kbest.tsv")).! == 0, "kbest run failed")
+    // output per document: k blocks of
+    //   <sentence id=N k=n logProb=L prob=P> ... answer lines ... </sentence>
+    // sorted by logProb desc (classifyAndWriteAnswersKBest,
+    // AbstractSequenceClassifier.java:704-722)
+    final case class Block(docIdx: Int, rank: Int, logProb: Double, tags: Vector[String])
+    val blocks = {
+      val out = Vector.newBuilder[Block]
+      var hdr: Option[(Int, Int, Double)] = None
+      var cur = Vector.newBuilder[String]
+      Files.readAllLines(Paths.get(s"$dir/ref_kbest.tsv")).asScala.foreach { line =>
+        val t = line.trim
+        if (t.startsWith("<sentence")) {
+          def attr(name: String): String =
+            t.split(" ").find(_.startsWith(name + "=")).get.drop(name.length + 1).stripSuffix(">")
+          hdr = Some((attr("id").toInt, attr("k").toInt, attr("logProb").toDouble))
+          cur = Vector.newBuilder
+        } else if (t == "</sentence>") {
+          val (id, rk, lp) = hdr.get
+          out += Block(id, rk - 1, lp, cur.result())
+          hdr = None
+        } else if (hdr.isDefined && t.nonEmpty) cur += t.split("\t").last
+      }
+      out.result()
+    }
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+    // The reference's 2009 KBestSequenceFinder is NOT an exact top-k: its
+    // rank recombination emits duplicate label sequences (which
+    // classifyKBest's Counter<List<CoreLabel>> folds,
+    // AbstractSequenceClassifier.java:747-770 — observed on 318 of 828
+    // docs), SKIPS genuinely better sequences (docs where our rank-1 scores
+    // a smaller gap to rank 0 than anything in the reference's list), and
+    // can emit a sequence with the SCORE OF A DIFFERENT PATH (observed:
+    // reference gap 11.53 for a sequence whose true potential gap is ~10 —
+    // which also scrambles its printed order). Our kBestViterbi is
+    // enumeration-exact (CrfSpec; re-arbitrated below on the bridged
+    // model's real weights). The differential therefore asserts what IS
+    // invariant: rank 0 agrees exactly on every doc, every sequence the
+    // reference emits is a genuine member of our exact extended list
+    // (content parity — the finder never invents sequences), the large
+    // majority of its score gaps to rank 0 match our potential gaps (their
+    // logProb differs from our raw path score by the constant logZ, which
+    // the gap cancels), and the exceptions are exactly the wrong-score
+    // emissions counted and reported.
+    var maxGapDiff = 0.0
+    var nFull = 0; var nFolded = 0; var nRefSkips = 0; var nBlocksMatched = 0L; var nGapAgree = 0L
+    val kWide = k + 5 // reference skips consume slots; locate its picks in our wider exact list
+    val byDoc = blocks.groupBy(_.docIdx)
+    meta.zipWithIndex.foreach { case ((conv, turnIdx, n), d) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val ours = model.tagKBest(ws, kWide)
+      val theirsDoc = byDoc(d).sortBy(_.rank)
+      require(theirsDoc.length >= 2 && theirsDoc.length <= k, s"$conv/$turnIdx: ${theirsDoc.length} blocks")
+      if (theirsDoc.length == k) nFull += 1 else nFolded += 1
+      // rank 0 must agree exactly (it is the tagging answer)
+      assert(ours(0)._1.toSeq == theirsDoc(0).tags, s"$conv/$turnIdx rank-0 mismatch")
+      for (r <- theirsDoc.indices) {
+        val theirs = theirsDoc(r)
+        require(theirs.tags.length == n, s"$conv/$turnIdx rank $r: ${theirs.tags.length} != $n")
+        val idx = ours.indexWhere(_._1.toSeq == theirs.tags)
+        assert(idx >= 0, s"$conv/$turnIdx: reference sequence (rank $r) absent from our top-$kWide: ${theirs.tags.mkString(" ")}")
+        if (idx > r) nRefSkips += 1 // the finder skipped (or a fold displaced) a better sequence
+        val gapOurs = ours(0)._2 - ours(idx)._2
+        val gapRef = theirsDoc(0).logProb - theirs.logProb
+        if (math.abs(gapOurs - gapRef) < 1e-4) nGapAgree += 1
+        else maxGapDiff = math.max(maxGapDiff, math.abs(gapOurs - gapRef))
+        nBlocksMatched += 1
+      }
+    }
+    info(f"k-best ($k): ${nBlocksMatched}%d reference sequences, ALL located in our exact top-$kWide%d; " +
+      f"rank-0 exact on every doc; $nFull docs with $k distinct sequences, $nFolded with a duplicate folded, " +
+      f"$nRefSkips placements past the exact rank; score gaps agree on $nGapAgree " +
+      f"(exceptions = the finder's wrong-score emissions, max divergence $maxGapDiff%.3g)")
+    assert(nGapAgree.toDouble / nBlocksMatched >= 0.9,
+      s"only $nGapAgree/$nBlocksMatched reference score gaps match the true potential gaps")
+
+    // ---- arbitration: our k-best vs full enumeration on the bridged model ----
+    import graft.core.Crf
+    var nEnumDocs = 0
+    meta.filter(_._3 <= 8).take(40).foreach { case (conv, turnIdx, n) =>
+      val convId = conv.stripPrefix("conv").toLong
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val toks = model.preprocess(ws)
+      val enc = graft.train.Trainer.encodeWith(toks, model.featureIndex, model.gazette,
+        model.useOccurrencePatterns, model.distSim.isDefined, model.useTags,
+        model.useTaggySequences, model.useReverse, model.useParenMatching,
+        model.ngramOpts, model.disjunctionWidth, model.miscOpts)
+      val p = model.params
+      val pots = Crf.logPotentials(enc, p)
+      val nc = p.numClasses
+      val scored = (0 until math.pow(nc, n).toInt).map { code =>
+        var e = code
+        val arr = new Array[Int](n)
+        var i = n - 1
+        while (i >= 0) { arr(i) = e % nc; e /= nc; i -= 1 }
+        var sc = 0.0
+        for (pos <- 0 until n) sc += pots(pos)(Crf.windowEnc(arr, pos, p))
+        (arr.toSeq.map(model.classIndex), sc)
+      }.sortBy(-_._2).take(k)
+      val ours = model.tagKBest(ws, k)
+      for (r <- 0 until k) {
+        assert(ours(r)._1.toSeq == scored(r)._1, s"$conv/$turnIdx enum rank $r")
+        assert(math.abs(ours(r)._2 - scored(r)._2) < 1e-9)
+      }
+      nEnumDocs += 1
+    }
+    info(s"arbitration: our top-$k equals 3^n enumeration (content AND scores) on $nEnumDocs bridged-model docs")
+    assert(nEnumDocs >= 30)
+  }
+
   test("TEXT FLAGS differential: flag-bearing serializeToText model loads via the PARSED flags block") {
     // Round-5 closure of the last RefTextModel gap: the loader used to skip
     // the <flags> block, so a text model trained with option-bearing flags
