@@ -464,16 +464,21 @@ object Bench {
         (sec, Ambient.between(a0, Ambient.sample()))
       }
       // best-of-2 unconditionally (plus an admission-gated third when the
-      // ambient probe saw neighbor load): r3's q04 "regression" was a single
-      // polluted rep the ambient gate could not see; a per-query best-of is
-      // the same defense the scaling reps get, at ~15s total cost.
+      // ambient probe saw neighbor load OR the two reps DISAGREE by > 1.5x —
+      // a disagreement means at least one rep was polluted by interference
+      // the ambient probe is blind to; the r5 run-1 headline read 14.1 s vs
+      // run-2's 9.2 s purely from such reps): r3's q04 "regression" was a
+      // single polluted rep; a per-query best-of is the same defense the
+      // scaling reps get, at ~15s total cost.
       val (s1, amb1) = once()
       val (s2, amb2) = if (s1 >= 0 && System.nanoTime() < queryDeadline) once() else (-1.0, -1.0)
       var sec = Seq(s1, s2).filter(_ >= 0) match {
         case Nil => -1.0
         case xs  => xs.min
       }
-      if (sec >= 0 && math.max(amb1, amb2) > ambientMax && System.nanoTime() < queryDeadline) {
+      val disagree = s1 >= 0 && s2 >= 0 && math.max(s1, s2) > 1.5 * math.min(s1, s2)
+      if (sec >= 0 && (math.max(amb1, amb2) > ambientMax || disagree) &&
+          System.nanoTime() < queryDeadline) {
         Ambient.admit(ambientMax, queryDeadline)
         val (s3, _) = once()
         if (s3 >= 0) sec = math.min(sec, s3)
