@@ -259,7 +259,11 @@ private[ner] object RefTextFlags {
     "epsilon", "tolerance", "qnsize", "useqn", "maxiterations", "numfolds",
     "startfold", "endfold", "mergetags", "justify", "printfeatures",
     "savefeatureindextodisk", "useobservedsequencesonly", "normalize",
-    "interimoutputfreq", "printprobs", "printfirstorderprobs", "keepemptysentences")
+    "interimoutputfreq", "printprobs", "printfirstorderprobs", "keepemptysentences",
+    // inference-time knobs don't shape the dictionary; gazette/distsim FILE
+    // paths are gated by the useGazettes/useDistSim flags themselves
+    "inferencetype", "beamsize", "kbest", "usekbest",
+    "gazette", "sloppygazette", "cleangazette", "distsimlexicon")
 
   /** dan2UseLC is the only shaper this engine implements (byte-exact,
     * text/WordShape.scala); WordShapeClassifier.lookupShaper name -> id.
