@@ -30,13 +30,17 @@ object NerFeatures {
     * `ds` is the distsim cluster ("null" when the word is not in the lexicon,
     * per distSimAnnotate) or null when distsim is off / the token is a pad.
     */
-  final case class Tok(word: String, shape: String, ds: String = null, tag: String = null)
+  final case class Tok(word: String, shape: String, ds: String = null, tag: String = null,
+      lemma: String = null)
   val Pad: Tok = Tok("", null)
 
   // POS-tag accessor, getString semantics (pad/absent -> "")
   @inline private def tagGS(t: Tok): String = if (t.tag == null) "" else t.tag
   // POS-tag accessor, `get`/concat semantics (pad/absent -> the literal "null")
   @inline private def tagGet(t: Tok): String = if (t.tag == null) "null" else t.tag
+
+  // lemma accessor, getString semantics (pad/absent -> "")
+  @inline private def lemGS(t: Tok): String = if (t.lemma == null) "" else t.lemma
 
   // distsim accessors mirroring the reference's get vs getString semantics
   @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
@@ -205,7 +209,14 @@ object NerFeatures {
       // copy of disjunctionWidth's default, not the reference's)
       useWideDisjunctive: Boolean = false, wideDisjunctionWidth: Int = 10,
       useDisjShape: Boolean = false,
-      useDisjunctiveShapeInteraction: Boolean = false)
+      useDisjunctiveShapeInteraction: Boolean = false,
+      // lemma features (NERFeatureFactory.java:796-811): emitted only when a
+      // token CARRIES a lemma (getString -> "" suppresses the feature), so
+      // they are exact no-ops on inputs without lemma annotations — the
+      // reference behaves identically, which is why these were safe to
+      // un-reject (they fire only for lemma-bearing column data, e.g. the
+      // CoNLL reader's 5-column format, CoNLLDocumentReaderAndWriter.java:223-231)
+      useLemmas: Boolean = false, usePrevNextLemmas: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -310,6 +321,15 @@ object NerFeatures {
     // trained with -useWord false simply hash-miss these, the usual
     // unseen-feature rule)
     g0.add(cWord + "-WORD|C")                                 // useWord (:786-788)
+    if (misc.useLemmas) {                                      // useLemmas (:796-801)
+      val lem = lemGS(c)
+      if (lem != "") g0.add(lem + "-LEM|C")
+    }
+    if (misc.usePrevNextLemmas) {                              // usePrevNextLemmas (:802-811)
+      val plem = lemGS(p); val nlem = lemGS(nt)
+      if (plem != "") g0.add(plem + "-PLEM|C")
+      if (nlem != "") g0.add(nlem + "-NLEM|C")
+    }
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
     if (useTags)                                               // useTags (:943)

@@ -222,6 +222,14 @@ object NerFeaturesFast {
       }
     }
     emit(h(h(h(FnvOffset, cWord), "-WORD"), suffixC)) // useWord (default true)
+    if (misc.useLemmas && c.lemma != null && c.lemma != "") // useLemmas (:796-801)
+      emit(h(h(h(FnvOffset, c.lemma), "-LEM"), suffixC))
+    if (misc.usePrevNextLemmas) {                           // usePrevNextLemmas (:802-811)
+      if (p.lemma != null && p.lemma != "")
+        emit(h(h(h(FnvOffset, p.lemma), "-PLEM"), suffixC))
+      if (nt.lemma != null && nt.lemma != "")
+        emit(h(h(h(FnvOffset, nt.lemma), "-NLEM"), suffixC))
+    }
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))

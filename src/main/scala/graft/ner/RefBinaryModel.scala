@@ -102,7 +102,8 @@ object RefBinaryModel {
         // field is always serialized in stock models, so this only matters
         // for variant classdescs)
         flags.fields.get("wideDisjunctionWidth").collect { case i: Int => i }.getOrElse(10),
-        flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"))
+        flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"),
+        flag("useLemmas"), flag("usePrevNextLemmas"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -164,8 +165,10 @@ object RefBinaryModel {
       "useMinimalAbbr1",
       "useIsURL", "useEntityTypes", "useAbbr1",
       "useWEBFreqDict", "useUnknown", "useURLSequences",
-      "usePrevNextLemmas",
-      "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
+      // useLemmas / usePrevNextLemmas are IMPLEMENTED (round 5): they emit
+      // only for lemma-bearing tokens (getString -> "" suppresses), exactly
+      // like the reference, so they are exact no-ops on plain-text input
+      "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
       "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
       "useGENIA", "useFREQ", "useEntityTypeSequences",
       "useEntityRule", "useChunkySequences",

@@ -214,7 +214,8 @@ private[ner] object RefTextFlags {
       bool("usetypeseqs3"), bool("usetaggysequencesshapeinteraction"), bool("usesymtags"),
       bool("useprevvb"), bool("usenextvb"), bool("usevb"), bool("useshapeconjunctions"),
       bool("usenextsequences"), bool("usewidedisjunctive"), wideDisjunctionWidth,
-      bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"))
+      bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"),
+      bool("uselemmas"), bool("useprevnextlemmas"))
   }
 
   /** Families the model may have been trained with or without — either way
@@ -234,7 +235,7 @@ private[ner] object RefTextFlags {
     "useeithersidedisjunctive", "useextrataggysequences", "usetypeseqs3",
     "usetaggysequencesshapeinteraction", "usesymtags", "useprevvb", "usenextvb",
     "usevb", "useshapeconjunctions", "usenextsequences", "usewidedisjunctive",
-    "usedisjshape", "usedisjunctiveshapeinteraction")
+    "usedisjshape", "usedisjunctiveshapeinteraction", "uselemmas", "useprevnextlemmas")
 
   /** Same closure as RefBinaryModel.validateFlags: families whose features
     * this engine cannot emit (external annotations/resources).
@@ -242,8 +243,8 @@ private[ner] object RefTextFlags {
   private val mustBeFalse = Seq("useABGENE", "useWEB",
     "useNPHead", "useNPGovernor", "useChunks", "useAbbr", "useMinimalAbbr",
     "useMinimalAbbr1", "useIsURL", "useEntityTypes", "useAbbr1",
-    "useWEBFreqDict", "useUnknown", "useURLSequences", "usePrevNextLemmas",
-    "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures", "useLemmas",
+    "useWEBFreqDict", "useUnknown", "useURLSequences",
+    "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
     "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
     "useGENIA", "useFREQ", "useEntityTypeSequences", "useEntityRule",
     "useChunkySequences", "useABSTRFreqDict", "useABSTRFreq", "useABSTR")

@@ -1294,6 +1294,94 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(nEnumDocs >= 30)
   }
 
+  test("LEMMA differential: reference trained with -useLemmas -usePrevNextLemmas on lemma-bearing column data matches our tags") {
+    // The lemma families (NERFeatureFactory.java:796-811) emit ONLY when a
+    // token carries a LemmaAnnotation (getString -> "" suppresses the
+    // feature) — lemma-bearing input comes from column data with a lemma
+    // column (map word=0,lemma=1,answer=2 via AnnotationLookup's "lemma"
+    // key, or the CoNLL reader's 5-column format). Round 5 implements the
+    // three templates (LEM/PLEM/NLEM) in both feature paths and un-rejects
+    // the flags in both loaders; this leg trains the reference on synthetic
+    // lemma-bearing 3-column data (deterministic pseudo-lemma = lowercase
+    // word + "_lm", so the features are distinctive and fire at every
+    // position) and must match token for token.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/reflemma"
+    Files.createDirectories(Paths.get(dir))
+    def lemma(w: String): String = w.toLowerCase + "_lm"
+    def writeDocs(path: String, seed: Long, n: Long, meta: Option[String]): Unit = {
+      val sb = new StringBuilder
+      val mb = new StringBuilder
+      for (conv <- 0L until n; t <- 0 until graft.pipeline.Transcripts.numTurns(seed, conv)
+           if !graft.pipeline.Transcripts.isToolTurn(seed, conv, t)) {
+        val (ws, ls) = graft.pipeline.Transcripts.turnTokens(seed, conv, t)
+        for (i <- ws.indices)
+          sb.append(ws(i)).append('\t').append(lemma(ws(i))).append('\t').append(ls(i)).append('\n')
+        sb.append('\n')
+        mb.append(conv).append('\t').append(t).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    writeDocs(s"$dir/train.tsv", 42L, 300L, None)
+    writeDocs(s"$dir/test.tsv", 99L, 150L, Some(s"$dir/meta.tsv"))
+    // conllNoTags spelled out key by key (its map=word=0,answer=1 assignment
+    // would race our 3-column map under Properties iteration order)
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,lemma=1,answer=2",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      "-sigma", "20.0", "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
+      "-useLemmas", "true", "-usePrevNextLemmas", "true")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz") == 0,
+      "reference training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.miscOpts.useLemmas && model.miscOpts.usePrevNextLemmas,
+      "lemma flags not recovered from the binary bundle")
+    // the dictionary must actually contain lemma features (the leg is not vacuous)
+    val nLem = model.featureIndex.keySet().asScala.count(f =>
+      f.endsWith("-LEM|C") || f.endsWith("-PLEM|C") || f.endsWith("-NLEM|C"))
+    info(s"model carries $nLem lemma features of ${model.numFeatures}")
+    assert(nLem > 100, "expected a real population of LEM/PLEM/NLEM features")
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toLong, p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(99L, conv, turnIdx)
+      val ours = model.tag(ws, IndexedSeq.fill(ws.length)(null: String), ws.map(lemma))
+      require(ours.length == n && theirs.length == n)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${ws(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"lemma-leg token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("TEXT FLAGS differential: flag-bearing serializeToText model loads via the PARSED flags block") {
     // Round-5 closure of the last RefTextModel gap: the loader used to skip
     // the <flags> block, so a text model trained with option-bearing flags

@@ -135,7 +135,10 @@ class FeatureParitySpec extends AnyFunSuite {
     val words = Vector("Dr", "Smith", "won", "3", "rd", "place", "twenty-first", ".")
     val tags = Vector("NNP", "NNP", "VB", "CD", "NN", "NN", "JJ", ".")
     val toks = toksOf(words: _*).zip(tags).zipWithIndex.map { case ((t, tg), i) =>
-      t.copy(tag = tg, ds = if (i % 2 == 0) s"C_$i" else null) }
+      // lemma on alternate tokens only: the getString suppression path
+      // (no feature for lemma-less tokens) must agree between the two paths
+      t.copy(tag = tg, ds = if (i % 2 == 0) s"C_$i" else null,
+        lemma = if (i % 2 == 1) t.word.toLowerCase + "_lm" else null) }
     val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
       useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
       useMoreTags = true, useEitherSideWord = true, useWordTag = true,
@@ -144,7 +147,8 @@ class FeatureParitySpec extends AnyFunSuite {
       useSymTags = true, usePrevVB = true, useNextVB = true, useVB = true,
       useShapeConjunctions = true, useNextSequences = true,
       useWideDisjunctive = true, wideDisjunctionWidth = 2,
-      useDisjShape = true, useDisjunctiveShapeInteraction = true)
+      useDisjShape = true, useDisjunctiveShapeInteraction = true,
+      useLemmas = true, usePrevNextLemmas = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -175,6 +179,12 @@ class FeatureParitySpec extends AnyFunSuite {
     // wide disjunctive (own width), disjunctive shapes (get -> "null" pads),
     // and the disjunctive-shape interaction (cShape getString)
     assert(dict.containsKey("won-DISJWN|C") && dict.containsKey("Dr-DISJWP|C"))
+    // lemma families (NERFeatureFactory.java:796-811): emitted only for
+    // lemma-BEARING tokens; "smith_lm" sits at index 1 (lemma'd), "Dr" at 0 (not)
+    assert(dict.containsKey("smith_lm-LEM|C") && dict.containsKey("smith_lm-PLEM|C") &&
+      dict.containsKey("smith_lm-NLEM|C"))
+    assert(!dict.keySet.toArray.exists(_.toString == "Dr-LEM|C"),
+      "a lemma-less token must emit no LEM feature (getString suppression)")
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-NDISJSHAPE|C")))
     assert(dict.keySet.toArray.exists(_.toString.contains("-CNDISJSHAPE|C")))
     assert(dict.containsKey("null-NDISJSHAPE|C"), "pad shape reads as the literal null (get)")
