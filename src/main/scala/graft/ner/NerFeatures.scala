@@ -31,7 +31,7 @@ object NerFeatures {
     * per distSimAnnotate) or null when distsim is off / the token is a pad.
     */
   final case class Tok(word: String, shape: String, ds: String = null, tag: String = null,
-      lemma: String = null)
+      lemma: String = null, chunk: String = null)
   val Pad: Tok = Tok("", null)
 
   // POS-tag accessor, getString semantics (pad/absent -> "")
@@ -41,6 +41,8 @@ object NerFeatures {
 
   // lemma accessor, getString semantics (pad/absent -> "")
   @inline private def lemGS(t: Tok): String = if (t.lemma == null) "" else t.lemma
+  // chunk accessor, `get`/concat semantics (pad/absent -> the literal "null")
+  @inline private def chunkGet(t: Tok): String = if (t.chunk == null) "null" else t.chunk
 
   // distsim accessors mirroring the reference's get vs getString semantics
   @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
@@ -216,7 +218,23 @@ object NerFeatures {
       // reference behaves identically, which is why these were safe to
       // un-reject (they fire only for lemma-bearing column data, e.g. the
       // CoNLL reader's 5-column format, CoNLLDocumentReaderAndWriter.java:223-231)
-      useLemmas: Boolean = false, usePrevNextLemmas: Boolean = false)
+      useLemmas: Boolean = false, usePrevNextLemmas: Boolean = false,
+      // chunk features (NERFeatureFactory.java:1072-1076 C, :1793 CpCp2C;
+      // useChunkySequences :1541-1543 CpC): `get` semantics — absent chunks
+      // read as the literal "null", so chunk-less input emits CONSTANT
+      // chunk-null templates exactly like the reference; chunk values flow
+      // from column data (map ...,chunk=N / CoNLL 4-column)
+      useChunks: Boolean = false, useChunkySequences: Boolean = false,
+      // abbr features (NERFeatureFactory.java:1048-1061,1078-1080 C,
+      // :1531-1533 CpC, :1789-1791 CpCp2C): NOTHING in this source drop ever
+      // sets AbbrAnnotation (no reader, no annotator, and AnnotationLookup
+      // has no "abbr" map key), so every template degenerates to constant
+      // strings over the literal "null" under Java concat — implemented as
+      // those constants. The XX-gated *1 variants (useAbbr1/useMinimalAbbr1)
+      // instead NPE in the reference itself (null.equals("XX"), :1053) — no
+      // model can have been trained with them in this drop, so both loaders
+      // keep rejecting them loudly.
+      useAbbr: Boolean = false, useMinimalAbbr: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -330,6 +348,20 @@ object NerFeatures {
       if (plem != "") g0.add(plem + "-PLEM|C")
       if (nlem != "") g0.add(nlem + "-NLEM|C")
     }
+    if (misc.useChunks) {                                      // useChunks (:1072-1076)
+      g0.add(chunkGet(p) + "-" + chunkGet(c) + "-PCCHUNK|C")
+      g0.add(chunkGet(c) + "-" + chunkGet(nt) + "-CNCHUNK|C")
+      g0.add(chunkGet(p) + "-" + chunkGet(c) + "-" + chunkGet(nt) + "-PCNCHUNK|C")
+    }
+    // abbr families: constants over the never-set AbbrAnnotation (see
+    // MiscOpts doc; :1048-1061,1078-1080)
+    if (misc.useAbbr || misc.useMinimalAbbr) g0.add("null-ABBR|C")
+    if (misc.useAbbr) {
+      g0.add("null-null-PCABBR|C")
+      g0.add("null-null-CNABBR|C")
+      g0.add("null-null-null-PCNABBR|C")
+    }
+    if (misc.useMinimalAbbr) g0.add(cWord + "-null-CWABB|C")
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
     if (useTags)                                               // useTags (:943)
@@ -553,6 +585,10 @@ object NerFeatures {
                 else isClose(cWord) && isOpen(pWord)
       if (hit) g1.add("PAREN-MATCH|CpC")
     }
+    if (misc.useAbbr || misc.useMinimalAbbr)
+      g1.add("null-null-PABBRANS|CpC")                         // (:1531-1533)
+    if (misc.useChunkySequences)                               // useChunkySequences (:1541-1543)
+      g1.add(chunkGet(p) + "-" + chunkGet(c) + "-" + chunkGet(nt) + "-PCNCHUNK|CpC")
     // useNextSequences: the reference's CnC "next clique" folds into the CpC
     // FACTOR — getCliqueFeatures(loc, cliqueCpC) also calls
     // featuresCnC(cInfo, loc-1) suffixed "|CnC" (NERFeatureFactory.java:
@@ -567,6 +603,10 @@ object NerFeatures {
 
     // ---- group 2: Cp2C (empty under preset) + CpCp2C ----
     val g2 = new java.util.LinkedHashSet[String]()
+    if (misc.useAbbr)                                          // useAbbr (:1789-1791)
+      g2.add("null-null-null-2PABBRANS|CpCp2C")
+    if (misc.useChunks)                                        // useChunks (:1792-1794)
+      g2.add(chunkGet(p2) + "-" + chunkGet(p) + "-" + chunkGet(c) + "-2PCHUNKS|CpCp2C")
     g2.add("PPSEQ|CpCp2C")                                    // useLongSequences (:1796)
     if (pWord == Boundary) g2.add("BNDRY-SPAN-PPSEQ|CpCp2C")  // useBoundarySequences (:1799)
     if (useTaggySeq && useTags) {                              // useTaggySequences (:1812-1818)

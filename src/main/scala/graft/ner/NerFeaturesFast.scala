@@ -43,6 +43,9 @@ object NerFeaturesFast {
   // POS tag via `get`/concat semantics: absent -> the literal "null"
   @inline private def hTagGet(acc: Long, t: Tok): Long =
     if (t.tag == null) h(acc, "null") else h(acc, t.tag)
+  // chunk via `get`/concat semantics: absent -> the literal "null"
+  @inline private def hChunkGet(acc: Long, t: Tok): Long =
+    if (t.chunk == null) h(acc, "null") else h(acc, t.chunk)
 
   /** Open-address long->int map (power-of-two capacity, linear probing).
     * Empty slots marked by value == -1; key 0 is permitted.
@@ -142,6 +145,12 @@ object NerFeaturesFast {
   private val hParenCp2C = fnv("PAREN-MATCH|Cp2C")
   private val suffixCnC = "|CnC"
   private val suffixCpCnC = "|CpCnC"
+  private val hAbbrC = fnv("null-ABBR|C")
+  private val hPcAbbr = fnv("null-null-PCABBR|C")
+  private val hCnAbbr = fnv("null-null-CNABBR|C")
+  private val hPcnAbbr = fnv("null-null-null-PCNABBR|C")
+  private val hPabbrans = fnv("null-null-PABBRANS|CpC")
+  private val h2Pabbrans = fnv("null-null-null-2PABBRANS|CpCp2C")
   private val hNseq = fnv("NSEQ|CnC")
   private val hPnseq = fnv("PNSEQ|CpCnC")
 
@@ -230,6 +239,15 @@ object NerFeaturesFast {
       if (nt.lemma != null && nt.lemma != "")
         emit(h(h(h(FnvOffset, nt.lemma), "-NLEM"), suffixC))
     }
+    if (misc.useChunks) {                                   // useChunks (:1072-1076)
+      emit(h(h(hChunkGet(hc(hChunkGet(FnvOffset, p), '-'), c), "-PCCHUNK"), suffixC))
+      emit(h(h(hChunkGet(hc(hChunkGet(FnvOffset, c), '-'), nt), "-CNCHUNK"), suffixC))
+      emit(h(h(hChunkGet(hc(hChunkGet(hc(hChunkGet(FnvOffset, p), '-'), c), '-'), nt), "-PCNCHUNK"), suffixC))
+    }
+    // abbr constants (never-set AbbrAnnotation; :1048-1061,1078-1080)
+    if (misc.useAbbr || misc.useMinimalAbbr) emit(hAbbrC)
+    if (misc.useAbbr) { emit(hPcAbbr); emit(hCnAbbr); emit(hPcnAbbr) }
+    if (misc.useMinimalAbbr) emit(h(h(h(FnvOffset, cWord), "-null-CWABB"), suffixC))
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
@@ -445,6 +463,10 @@ object NerFeaturesFast {
                 else NerFeatures.isClose(cWord) && NerFeatures.isOpen(pWord)
       if (hit) emit(hParenCpC)
     }
+    if (misc.useAbbr || misc.useMinimalAbbr)
+      emit(hPabbrans) // (:1531-1533)
+    if (misc.useChunkySequences) // useChunkySequences (:1541-1543)
+      emit(h(h(hChunkGet(hc(hChunkGet(hc(hChunkGet(FnvOffset, p), '-'), c), '-'), nt), "-PCNCHUNK"), suffixCpC))
     if (misc.useNextSequences) { // folded CnC family (word at loc-1), "|CnC"
       emit(hNseq)
       emit(h(h(h(FnvOffset, pWord), "-NSEQW"), suffixCnC))
@@ -453,6 +475,9 @@ object NerFeaturesFast {
 
     // ---- group 2: CpCp2C ----
     hn = 0
+    if (misc.useAbbr) emit(h2Pabbrans) // (:1789-1791)
+    if (misc.useChunks) // useChunks (:1792-1794)
+      emit(h(h(hChunkGet(hc(hChunkGet(hc(hChunkGet(FnvOffset, p2), '-'), p), '-'), c), "-2PCHUNKS"), suffixCpCp2C))
     emit(h(h(FnvOffset, "PPSEQ"), suffixCpCp2C))
     if (pWord == NerFeatures.Boundary) emit(h(h(FnvOffset, "BNDRY-SPAN-PPSEQ"), suffixCpCp2C))
     if (useTaggySeq && useTags) {

@@ -172,19 +172,24 @@ final class NerModel(
     * useTaggySequences templates.
     */
   def tag(words: IndexedSeq[String], tags: IndexedSeq[String],
-      lemmas: IndexedSeq[String] = IndexedSeq.empty): Array[String] = {
+      lemmas: IndexedSeq[String] = IndexedSeq.empty,
+      chunks: IndexedSeq[String] = IndexedSeq.empty): Array[String] = {
     require(words.length == tags.length, s"${words.length} words vs ${tags.length} tags")
     require(lemmas.isEmpty || lemmas.length == words.length,
       s"${words.length} words vs ${lemmas.length} lemmas")
+    require(chunks.isEmpty || chunks.length == words.length,
+      s"${words.length} words vs ${chunks.length} chunks")
     if (words.isEmpty) return Array.empty
     val (inW, inT) = if (useReverse) (words.reverse, tags.reverse) else (words, tags)
     val inL = if (useReverse) lemmas.reverse else lemmas
+    val inC = if (useReverse) chunks.reverse else chunks
     val toks = inW.indices.map { i =>
       val w = inW(i)
       val fixed = fix(w)
       NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
         distSim.map(_.clusterOf(fixed)).orNull, inT(i),
-        if (inL.isEmpty) null else inL(i))
+        if (inL.isEmpty) null else inL(i),
+        if (inC.isEmpty) null else inC(i))
     }
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
@@ -394,7 +399,7 @@ object NerModel {
       if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
       if (m.miscOpts != NerFeatures.MiscOpts.default) {
         val mo = m.miscOpts
-        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\n")
+        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\t${mo.useChunks}\t${mo.useChunkySequences}\t${mo.useAbbr}\t${mo.useMinimalAbbr}\n")
       }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
@@ -466,7 +471,7 @@ object NerModel {
           def b(i: Int) = p.length > i && p(i).toBoolean
           misc = NerFeatures.MiscOpts(b(1), b(2), b(3), b(4), b(5), b(6), b(7), b(8), b(9), b(10),
             b(11), b(12), b(13), b(14), b(15), b(16), b(17), b(18), b(19),
-            b(20), if (p.length > 21) p(21).toInt else 10, b(22), b(23), b(24), b(25))
+            b(20), if (p.length > 21) p(21).toInt else 10, b(22), b(23), b(24), b(25), b(26), b(27), b(28), b(29))
         }
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")

@@ -103,7 +103,9 @@ object RefBinaryModel {
         // for variant classdescs)
         flags.fields.get("wideDisjunctionWidth").collect { case i: Int => i }.getOrElse(10),
         flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"),
-        flag("useLemmas"), flag("usePrevNextLemmas"))
+        flag("useLemmas"), flag("usePrevNextLemmas"),
+        flag("useChunks"), flag("useChunkySequences"),
+        flag("useAbbr"), flag("useMinimalAbbr"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -159,11 +161,14 @@ object RefBinaryModel {
     // engine does not emit and no certified preset sets - a model trained
     // with any of these has dictionary features we cannot produce, which
     // would silently drift scores instead of failing loudly)
+    // useAbbr / useMinimalAbbr are IMPLEMENTED (round 5) as the
+    // constant-"null" emissions they degenerate to (nothing in this source
+    // drop ever sets AbbrAnnotation); the XX-gated useAbbr1/useMinimalAbbr1
+    // NPE in the reference itself (NERFeatureFactory.java:1053) so no model
+    // trained with them can exist — reject loudly
     val mustBeFalse = Seq("useABGENE", "useWEB",
-      "useNPHead", "useNPGovernor", "useChunks", "useAbbr",
-      "useMinimalAbbr",
-      "useMinimalAbbr1",
-      "useIsURL", "useEntityTypes", "useAbbr1",
+      "useNPHead", "useNPGovernor", "useAbbr1", "useMinimalAbbr1",
+      "useIsURL", "useEntityTypes",
       "useWEBFreqDict", "useUnknown", "useURLSequences",
       // useLemmas / usePrevNextLemmas are IMPLEMENTED (round 5): they emit
       // only for lemma-bearing tokens (getString -> "" suppresses), exactly
@@ -171,7 +176,10 @@ object RefBinaryModel {
       "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
       "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
       "useGENIA", "useFREQ", "useEntityTypeSequences",
-      "useEntityRule", "useChunkySequences",
+      "useEntityRule",
+      // useChunks / useChunkySequences are IMPLEMENTED (round 5): chunk
+      // values flow from column data; absent chunks read as the literal
+      // "null" exactly like the reference's `get` concatenation
       "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,

@@ -215,7 +215,9 @@ private[ner] object RefTextFlags {
       bool("useprevvb"), bool("usenextvb"), bool("usevb"), bool("useshapeconjunctions"),
       bool("usenextsequences"), bool("usewidedisjunctive"), wideDisjunctionWidth,
       bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"),
-      bool("uselemmas"), bool("useprevnextlemmas"))
+      bool("uselemmas"), bool("useprevnextlemmas"),
+      bool("usechunks"), bool("usechunkysequences"),
+      bool("useabbr"), bool("useminimalabbr"))
   }
 
   /** Families the model may have been trained with or without — either way
@@ -235,19 +237,21 @@ private[ner] object RefTextFlags {
     "useeithersidedisjunctive", "useextrataggysequences", "usetypeseqs3",
     "usetaggysequencesshapeinteraction", "usesymtags", "useprevvb", "usenextvb",
     "usevb", "useshapeconjunctions", "usenextsequences", "usewidedisjunctive",
-    "usedisjshape", "usedisjunctiveshapeinteraction", "uselemmas", "useprevnextlemmas")
+    "usedisjshape", "usedisjunctiveshapeinteraction", "uselemmas", "useprevnextlemmas",
+    "usechunks", "usechunkysequences",
+    "useabbr", "useminimalabbr")
 
   /** Same closure as RefBinaryModel.validateFlags: families whose features
     * this engine cannot emit (external annotations/resources).
     */
   private val mustBeFalse = Seq("useABGENE", "useWEB",
-    "useNPHead", "useNPGovernor", "useChunks", "useAbbr", "useMinimalAbbr",
-    "useMinimalAbbr1", "useIsURL", "useEntityTypes", "useAbbr1",
+    "useNPHead", "useNPGovernor", "useAbbr1", "useMinimalAbbr1",
+    "useIsURL", "useEntityTypes",
     "useWEBFreqDict", "useUnknown", "useURLSequences",
     "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
     "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
     "useGENIA", "useFREQ", "useEntityTypeSequences", "useEntityRule",
-    "useChunkySequences", "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
+    "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
   private val mustBeFalseLower = mustBeFalse.map(k => k.toLowerCase -> k).toMap
 
   /** Feature-neutral keys: I/O, reader/encoding, optimizer, evaluation —

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * (/root/reference/src/edu/stanford/nlp/sequences/ColumnDocumentReaderAndWriter.java:46-72).
   */
 final case class LabeledDoc(words: Seq[String], labels: Seq[String],
-    tags: Seq[String] = Seq.empty, lemmas: Seq[String] = Seq.empty)
+    tags: Seq[String] = Seq.empty, lemmas: Seq[String] = Seq.empty,
+    chunks: Seq[String] = Seq.empty)
 
 /** Distributed CRF training: dictionary-build jobs + L-BFGS on the driver over
   * a `treeAggregate`d (value, gradient) — the classic Spark convex-optimization
@@ -246,7 +247,7 @@ object Trainer {
     // useReverse: physically reverse every doc before anything else, like the
     // reference's Collections.reverse(doc) at read time
     val docs = if (!cfg.useReverse) docs0
-      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse, d.tags.reverse, d.lemmas.reverse))
+      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse, d.tags.reverse, d.lemmas.reverse, d.chunks.reverse))
     docs.cache()
 
     // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68).
@@ -290,7 +291,7 @@ object Trainer {
       if (loadedMeta.isDefined) loadedMeta.get.features
       else if (!cfg.removeBackgroundSingletonFeatures) {
         val pairs = docs.flatMap { d =>
-          val toks = withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas)
+          val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
@@ -310,7 +311,7 @@ object Trainer {
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
-          val toks = withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas)
+          val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
@@ -411,7 +412,7 @@ object Trainer {
         case None => docs
           .repartition(parts)
           .map { d =>
-            val toks = withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas)
+            val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
             val dict = bcastDict.value
             val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             (enc, d.labels.map(classOf).toArray)
@@ -670,6 +671,14 @@ object Trainer {
     else {
       require(lemmas.length == toks.length, s"${toks.length} toks vs ${lemmas.length} lemmas")
       toks.indices.map(i => toks(i).copy(lemma = lemmas(i)))
+    }
+
+  /** Attach per-token chunk labels (4/5-column CoNLL data) to preprocessed toks. */
+  def withChunks(toks: IndexedSeq[NerFeatures.Tok], chunks: Seq[String]): IndexedSeq[NerFeatures.Tok] =
+    if (chunks.isEmpty) toks
+    else {
+      require(chunks.length == toks.length, s"${toks.length} toks vs ${chunks.length} chunks")
+      toks.indices.map(i => toks(i).copy(chunk = chunks(i)))
     }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then

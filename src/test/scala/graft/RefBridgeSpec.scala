@@ -1382,6 +1382,105 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
+  test("CHUNK+ABBR differential: reference trained with chunk data + the abbr constant families matches our tags") {
+    // Chunk features (NERFeatureFactory.java:1072-1076 C, :1541-1543 CpC via
+    // useChunkySequences, :1792-1794 CpCp2C) read via `get` — an absent
+    // chunk concatenates as the literal "null" — so unlike the lemma
+    // families they fire on EVERY position. Round 5 implements all five
+    // templates in both feature paths; chunk values flow from column data
+    // (map word=0,chunk=1,answer=2). Deterministic pseudo-chunks cycle over
+    // a BIO-ish alphabet so the templates carry real signal.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refchunk"
+    Files.createDirectories(Paths.get(dir))
+    val chunkTags = Vector("B-NP", "I-NP", "B-VP", "O")
+    def chunk(w: String, i: Int): String =
+      chunkTags(((graft.ops.Hashing.fnv1a64(w) + i) % 4).toInt.abs)
+    def writeDocs(path: String, seed: Long, n: Long, meta: Option[String]): Unit = {
+      val sb = new StringBuilder
+      val mb = new StringBuilder
+      for (conv <- 0L until n; t <- 0 until graft.pipeline.Transcripts.numTurns(seed, conv)
+           if !graft.pipeline.Transcripts.isToolTurn(seed, conv, t)) {
+        val (ws, ls) = graft.pipeline.Transcripts.turnTokens(seed, conv, t)
+        for (i <- ws.indices)
+          sb.append(ws(i)).append('\t').append(chunk(ws(i), i)).append('\t').append(ls(i)).append('\n')
+        sb.append('\n')
+        mb.append(conv).append('\t').append(t).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    writeDocs(s"$dir/train.tsv", 42L, 300L, None)
+    writeDocs(s"$dir/test.tsv", 99L, 150L, Some(s"$dir/meta.tsv"))
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,chunk=1,answer=2",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      // sigma 5: with sigma 20 the REFERENCE optimizer diverges to NaN on
+      // this chunk-augmented corpus ("Got NaN for prob"), the known
+      // too-separable failure mode; stronger regularization keeps it stable
+      "-sigma", "5.0", "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
+      "-useChunks", "true", "-useChunkySequences", "true",
+      // the abbr families: constant-"null" emissions in this source drop
+      // (nothing sets AbbrAnnotation) — the leg proves the constants land
+      // byte-identically in both dictionaries. The XX-gated *1 variants NPE
+      // in the reference itself and stay rejected.
+      "-useAbbr", "true", "-useMinimalAbbr", "true")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
+        "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz") == 0,
+      "reference training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.miscOpts.useChunks && model.miscOpts.useChunkySequences,
+      "chunk flags not recovered from the binary bundle")
+    assert(model.miscOpts.useAbbr && model.miscOpts.useMinimalAbbr,
+      "abbr flags not recovered from the binary bundle")
+    assert(model.featureIndex.containsKey("null-ABBR|C") &&
+      model.featureIndex.containsKey("null-null-PABBRANS|CpC") &&
+      model.featureIndex.containsKey("null-null-null-2PABBRANS|CpCp2C"),
+      "abbr constants absent from the reference-trained dictionary")
+    val nChunk = model.featureIndex.keySet().asScala.count(f =>
+      f.contains("CHUNK") || f.endsWith("-2PCHUNKS|CpCp2C"))
+    info(s"model carries $nChunk chunk features of ${model.numFeatures}")
+    assert(nChunk > 100, "expected a real population of chunk features")
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toLong, p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(99L, conv, turnIdx)
+      val ours = model.tag(ws, IndexedSeq.fill(ws.length)(null: String),
+        IndexedSeq.empty, ws.zipWithIndex.map { case (w, i) => chunk(w, i) })
+      require(ours.length == n && theirs.length == n)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${ws(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"chunk-leg token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("TEXT FLAGS differential: flag-bearing serializeToText model loads via the PARSED flags block") {
     // Round-5 closure of the last RefTextModel gap: the loader used to skip
     // the <flags> block, so a text model trained with option-bearing flags
@@ -1464,7 +1563,7 @@ class RefBridgeSpec extends AnyFunSuite {
         s"'$extra' rejected with unexpected message: ${e.getMessage}")
     }
     rejects("useDistSim=true", "distsim lexicon")
-    rejects("useChunks=true", "useChunks")
+    rejects("useNPHead=true", "useNPHead")
     rejects("someNovelFlag=true", "not modeled")
     rejects("normalizeTimex=false", "timex")
     rejects("wordShape=chris2useLC", "wordShape")

@@ -138,7 +138,8 @@ class FeatureParitySpec extends AnyFunSuite {
       // lemma on alternate tokens only: the getString suppression path
       // (no feature for lemma-less tokens) must agree between the two paths
       t.copy(tag = tg, ds = if (i % 2 == 0) s"C_$i" else null,
-        lemma = if (i % 2 == 1) t.word.toLowerCase + "_lm" else null) }
+        lemma = if (i % 2 == 1) t.word.toLowerCase + "_lm" else null,
+        chunk = if (i % 3 != 2) s"CH$i" else null) }
     val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
       useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
       useMoreTags = true, useEitherSideWord = true, useWordTag = true,
@@ -148,7 +149,9 @@ class FeatureParitySpec extends AnyFunSuite {
       useShapeConjunctions = true, useNextSequences = true,
       useWideDisjunctive = true, wideDisjunctionWidth = 2,
       useDisjShape = true, useDisjunctiveShapeInteraction = true,
-      useLemmas = true, usePrevNextLemmas = true)
+      useLemmas = true, usePrevNextLemmas = true,
+      useChunks = true, useChunkySequences = true,
+      useAbbr = true, useMinimalAbbr = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -185,6 +188,16 @@ class FeatureParitySpec extends AnyFunSuite {
       dict.containsKey("smith_lm-NLEM|C"))
     assert(!dict.keySet.toArray.exists(_.toString == "Dr-LEM|C"),
       "a lemma-less token must emit no LEM feature (getString suppression)")
+    // chunk families: `get` semantics — missing chunks read as the literal
+    // "null" (token 2 has none; the left pad too)
+    assert(dict.containsKey("CH0-CH1-PCCHUNK|C") && dict.containsKey("CH1-null-CNCHUNK|C"))
+    assert(dict.containsKey("null-CH0-PCCHUNK|C"), "left pad chunk reads as null")
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-PCNCHUNK|CpC")))
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-2PCHUNKS|CpCp2C")))
+    // abbr constants (never-set AbbrAnnotation -> literal "null" strings)
+    assert(dict.containsKey("null-ABBR|C") && dict.containsKey("null-null-PCABBR|C") &&
+      dict.containsKey("Smith-null-CWABB|C") && dict.containsKey("null-null-PABBRANS|CpC") &&
+      dict.containsKey("null-null-null-2PABBRANS|CpCp2C"))
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-NDISJSHAPE|C")))
     assert(dict.keySet.toArray.exists(_.toString.contains("-CNDISJSHAPE|C")))
     assert(dict.containsKey("null-NDISJSHAPE|C"), "pad shape reads as the literal null (get)")
