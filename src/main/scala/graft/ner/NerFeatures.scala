@@ -234,7 +234,29 @@ object NerFeatures {
       // instead NPE in the reference itself (null.equals("XX"), :1053) — no
       // model can have been trained with them in this drop, so both loaders
       // keep rejecting them loudly.
-      useAbbr: Boolean = false, useMinimalAbbr: Boolean = false)
+      useAbbr: Boolean = false, useMinimalAbbr: Boolean = false,
+      // the remaining annotation-valued families whose annotations have NO
+      // producer anywhere in this source drop (verified by grep: no reader,
+      // no annotator, no AnnotationLookup key sets Abgene/Abstr/Genia/Web/
+      // Freq/Dict/IsURL/EntityRule/EntityType/IsDateRange/Section/WordPos/
+      // SentencePos/ParaPos annotations): every template degenerates to
+      // constant strings over the literal "null" under Java concat —
+      // implemented as those constants (NERFeatureFactory.java:871-930 C,
+      // :1316-1322 MUC, :1606-1611 CpC sequences)
+      useABGENE: Boolean = false, useABSTR: Boolean = false,
+      useABSTRFreq: Boolean = false, useABSTRFreqDict: Boolean = false,
+      useGENIA: Boolean = false, useWEB: Boolean = false,
+      useWEBFreqDict: Boolean = false, useIsURL: Boolean = false,
+      useEntityRule: Boolean = false, useEntityTypes: Boolean = false,
+      useIsDateRange: Boolean = false, useFREQ: Boolean = false,
+      useEntityTypeSequences: Boolean = false, useURLSequences: Boolean = false,
+      useMUCFeatures: Boolean = false,
+      // useClassFeature (:1166-1168): the constant bias feature "###" —
+      // previously silently ignored, which would have drifted scores for any
+      // model trained with it
+      useClassFeature: Boolean = false,
+      // useMoreAbbr (:1655-1657): Cp2C abbr constant, same no-producer rule
+      useMoreAbbr: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -362,6 +384,44 @@ object NerFeatures {
       g0.add("null-null-null-PCNABBR|C")
     }
     if (misc.useMinimalAbbr) g0.add(cWord + "-null-CWABB|C")
+    // the no-producer annotation families (see MiscOpts doc): constants.
+    // getString(TagAnnotation) in the ABSTRFreqDict/WEBFreqDict conjunctions
+    // is the POS tag (tagGS); shapeGet in WORD_POSITION_SHAPE is the real
+    // shape of the current token
+    if (misc.useABGENE) {
+      g0.add("null-ABGENE|C"); g0.add("null-PABGENE|C"); g0.add("null-NABGENE|C")
+    }
+    if (misc.useABSTRFreqDict) {
+      g0.add("null-ABSTRACTnull-FREQ" + tagGS(c) + "-TAG|C")
+      g0.add("null-ABSTRACTnull-DICT" + tagGS(c) + "-TAG|C")
+      g0.add("null-ABSTRACTnull-DICTnull-FREQ" + tagGS(c) + "-TAG|C")
+    }
+    if (misc.useABSTR) {
+      g0.add("null-ABSTRACT|C"); g0.add("null-PABSTRACT|C"); g0.add("null-NABSTRACT|C")
+    }
+    if (misc.useGENIA) {
+      g0.add("null-GENIA|C"); g0.add("null-PGENIA|C"); g0.add("null-NGENIA|C")
+    }
+    if (misc.useWEBFreqDict) {
+      g0.add("null-WEBnull-FREQ" + tagGS(c) + "-TAG|C")
+      g0.add("null-WEBnull-DICT" + tagGS(c) + "-TAG|C")
+      g0.add("null-WEBnull-DICTnull-FREQ" + tagGS(c) + "-TAG|C")
+    }
+    if (misc.useWEB) {
+      g0.add("null-WEB|C"); g0.add("null-PWEB|C"); g0.add("null-NWEB|C")
+    }
+    if (misc.useIsURL) g0.add("null-ISURL|C")
+    if (misc.useEntityRule) g0.add("null-ENTITYRULE|C")
+    if (misc.useEntityTypes) g0.add("null-ENTITYTYPE|C")
+    if (misc.useIsDateRange) g0.add("null-ISDATERANGE|C")
+    if (misc.useABSTRFreq) g0.add("null-ABSTRACTnull-FREQ|C")
+    if (misc.useFREQ) g0.add("null-FREQ|C")
+    if (misc.useMUCFeatures) {                                 // (:1316-1322)
+      g0.add("null-SECTION|C"); g0.add("null-WORD_POSITION|C")
+      g0.add("null-SENT_POSITION|C"); g0.add("null-PARA_POSITION|C")
+      g0.add("null-" + shapeGet(c) + "-WORD_POSITION_SHAPE|C")
+    }
+    if (misc.useClassFeature) g0.add("###|C")                  // (:1166-1168)
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
     if (useTags)                                               // useTags (:943)
@@ -589,6 +649,8 @@ object NerFeatures {
       g1.add("null-null-PABBRANS|CpC")                         // (:1531-1533)
     if (misc.useChunkySequences)                               // useChunkySequences (:1541-1543)
       g1.add(chunkGet(p) + "-" + chunkGet(c) + "-" + chunkGet(nt) + "-PCNCHUNK|CpC")
+    if (misc.useEntityTypeSequences) g1.add("null-null-ETSEQ|CpC")  // (:1606-1608)
+    if (misc.useURLSequences) g1.add("null-null-URLSEQ|CpC")        // (:1609-1611)
     // useNextSequences: the reference's CnC "next clique" folds into the CpC
     // FACTOR — getCliqueFeatures(loc, cliqueCpC) also calls
     // featuresCnC(cInfo, loc-1) suffixed "|CnC" (NERFeatureFactory.java:
@@ -620,6 +682,9 @@ object NerFeatures {
       if (misc.useTaggySequencesShapeInteraction)
         g2.add(dsGet(p2) + "-" + dsGet(p) + "-" + dsGet(c) + "-" + shapeGet(c) + "-DISTSIM_TTS1-CS|CpCp2C")
     }
+    // Cp2C abbr constants (:1655-1661; the never-set AbbrAnnotation rule)
+    if (misc.useMoreAbbr) g2.add("null-null-P2ABBRANS|Cp2C")
+    if (misc.useMinimalAbbr) g2.add("null-null-P2AP2CABB|Cp2C")
     // useParenMatching on the Cp2C clique (:1669-1683): match at distance 2
     // only when distance 1 did NOT match (suffix |Cp2C — same factor group)
     if (parenMatching) {

@@ -151,6 +151,18 @@ object NerFeaturesFast {
   private val hPcnAbbr = fnv("null-null-null-PCNABBR|C")
   private val hPabbrans = fnv("null-null-PABBRANS|CpC")
   private val h2Pabbrans = fnv("null-null-null-2PABBRANS|CpCp2C")
+  // no-producer annotation-family constants (see NerFeatures.MiscOpts doc)
+  private val hConstC: Map[String, Long] = Seq(
+    "null-ABGENE|C", "null-PABGENE|C", "null-NABGENE|C",
+    "null-ABSTRACT|C", "null-PABSTRACT|C", "null-NABSTRACT|C",
+    "null-GENIA|C", "null-PGENIA|C", "null-NGENIA|C",
+    "null-WEB|C", "null-PWEB|C", "null-NWEB|C",
+    "null-ISURL|C", "null-ENTITYRULE|C", "null-ENTITYTYPE|C",
+    "null-ISDATERANGE|C", "null-ABSTRACTnull-FREQ|C", "null-FREQ|C",
+    "null-SECTION|C", "null-WORD_POSITION|C", "null-SENT_POSITION|C",
+    "null-PARA_POSITION|C", "###|C",
+    "null-null-ETSEQ|CpC", "null-null-URLSEQ|CpC",
+    "null-null-P2ABBRANS|Cp2C", "null-null-P2AP2CABB|Cp2C").map(f => f -> fnv(f)).toMap
   private val hNseq = fnv("NSEQ|CnC")
   private val hPnseq = fnv("PNSEQ|CpCnC")
 
@@ -248,6 +260,40 @@ object NerFeaturesFast {
     if (misc.useAbbr || misc.useMinimalAbbr) emit(hAbbrC)
     if (misc.useAbbr) { emit(hPcAbbr); emit(hCnAbbr); emit(hPcnAbbr) }
     if (misc.useMinimalAbbr) emit(h(h(h(FnvOffset, cWord), "-null-CWABB"), suffixC))
+    if (misc.useABGENE) {
+      emit(hConstC("null-ABGENE|C")); emit(hConstC("null-PABGENE|C")); emit(hConstC("null-NABGENE|C"))
+    }
+    if (misc.useABSTRFreqDict) {
+      emit(h(h(hTagGS(h(FnvOffset, "null-ABSTRACTnull-FREQ"), c), "-TAG"), suffixC))
+      emit(h(h(hTagGS(h(FnvOffset, "null-ABSTRACTnull-DICT"), c), "-TAG"), suffixC))
+      emit(h(h(hTagGS(h(FnvOffset, "null-ABSTRACTnull-DICTnull-FREQ"), c), "-TAG"), suffixC))
+    }
+    if (misc.useABSTR) {
+      emit(hConstC("null-ABSTRACT|C")); emit(hConstC("null-PABSTRACT|C")); emit(hConstC("null-NABSTRACT|C"))
+    }
+    if (misc.useGENIA) {
+      emit(hConstC("null-GENIA|C")); emit(hConstC("null-PGENIA|C")); emit(hConstC("null-NGENIA|C"))
+    }
+    if (misc.useWEBFreqDict) {
+      emit(h(h(hTagGS(h(FnvOffset, "null-WEBnull-FREQ"), c), "-TAG"), suffixC))
+      emit(h(h(hTagGS(h(FnvOffset, "null-WEBnull-DICT"), c), "-TAG"), suffixC))
+      emit(h(h(hTagGS(h(FnvOffset, "null-WEBnull-DICTnull-FREQ"), c), "-TAG"), suffixC))
+    }
+    if (misc.useWEB) {
+      emit(hConstC("null-WEB|C")); emit(hConstC("null-PWEB|C")); emit(hConstC("null-NWEB|C"))
+    }
+    if (misc.useIsURL) emit(hConstC("null-ISURL|C"))
+    if (misc.useEntityRule) emit(hConstC("null-ENTITYRULE|C"))
+    if (misc.useEntityTypes) emit(hConstC("null-ENTITYTYPE|C"))
+    if (misc.useIsDateRange) emit(hConstC("null-ISDATERANGE|C"))
+    if (misc.useABSTRFreq) emit(hConstC("null-ABSTRACTnull-FREQ|C"))
+    if (misc.useFREQ) emit(hConstC("null-FREQ|C"))
+    if (misc.useMUCFeatures) {
+      emit(hConstC("null-SECTION|C")); emit(hConstC("null-WORD_POSITION|C"))
+      emit(hConstC("null-SENT_POSITION|C")); emit(hConstC("null-PARA_POSITION|C"))
+      emit(h(h(hShapeGet(h(FnvOffset, "null-"), c), "-WORD_POSITION_SHAPE"), suffixC))
+    }
+    if (misc.useClassFeature) emit(hConstC("###|C"))
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
@@ -467,6 +513,8 @@ object NerFeaturesFast {
       emit(hPabbrans) // (:1531-1533)
     if (misc.useChunkySequences) // useChunkySequences (:1541-1543)
       emit(h(h(hChunkGet(hc(hChunkGet(hc(hChunkGet(FnvOffset, p), '-'), c), '-'), nt), "-PCNCHUNK"), suffixCpC))
+    if (misc.useEntityTypeSequences) emit(hConstC("null-null-ETSEQ|CpC"))
+    if (misc.useURLSequences) emit(hConstC("null-null-URLSEQ|CpC"))
     if (misc.useNextSequences) { // folded CnC family (word at loc-1), "|CnC"
       emit(hNseq)
       emit(h(h(h(FnvOffset, pWord), "-NSEQW"), suffixCnC))
@@ -492,6 +540,9 @@ object NerFeaturesFast {
       if (misc.useTaggySequencesShapeInteraction)
         emit(h(h(hShapeGet(hc(dts, '-'), c), "-DISTSIM_TTS1-CS"), suffixCpCp2C))
     }
+    // Cp2C abbr constants (:1655-1661; the never-set AbbrAnnotation rule)
+    if (misc.useMoreAbbr) emit(hConstC("null-null-P2ABBRANS|Cp2C"))
+    if (misc.useMinimalAbbr) emit(hConstC("null-null-P2AP2CABB|Cp2C"))
     if (parenMatching) {
       val hit = if (reverse)
         NerFeatures.isOpen(cWord) && NerFeatures.isClose(p2.word) && !NerFeatures.isClose(pWord)

@@ -105,7 +105,13 @@ object RefBinaryModel {
         flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"),
         flag("useLemmas"), flag("usePrevNextLemmas"),
         flag("useChunks"), flag("useChunkySequences"),
-        flag("useAbbr"), flag("useMinimalAbbr"))
+        flag("useAbbr"), flag("useMinimalAbbr"),
+        flag("useABGENE"), flag("useABSTR"), flag("useABSTRFreq"),
+        flag("useABSTRFreqDict"), flag("useGENIA"), flag("useWEB"),
+        flag("useWEBFreqDict"), flag("useIsURL"), flag("useEntityRule"),
+        flag("useEntityTypes"), flag("useIsDateRange"), flag("useFREQ"),
+        flag("useEntityTypeSequences"), flag("useURLSequences"),
+        flag("useMUCFeatures"), flag("useClassFeature"), flag("useMoreAbbr"))
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
         reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
@@ -166,21 +172,25 @@ object RefBinaryModel {
     // drop ever sets AbbrAnnotation); the XX-gated useAbbr1/useMinimalAbbr1
     // NPE in the reference itself (NERFeatureFactory.java:1053) so no model
     // trained with them can exist — reject loudly
-    val mustBeFalse = Seq("useABGENE", "useWEB",
-      "useNPHead", "useNPGovernor", "useAbbr1", "useMinimalAbbr1",
-      "useIsURL", "useEntityTypes",
-      "useWEBFreqDict", "useUnknown", "useURLSequences",
-      // useLemmas / usePrevNextLemmas are IMPLEMENTED (round 5): they emit
-      // only for lemma-bearing tokens (getString -> "" suppresses), exactly
-      // like the reference, so they are exact no-ops on plain-text input
-      "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
-      "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
-      "useGENIA", "useFREQ", "useEntityTypeSequences",
-      "useEntityRule",
-      // useChunks / useChunkySequences are IMPLEMENTED (round 5): chunk
-      // values flow from column data; absent chunks read as the literal
-      // "null" exactly like the reference's `get` concatenation
-      "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
+    // Round 5 shrank this list to its irreducible core. Implemented since:
+    // lemma families (data-driven, getString-suppressed), chunk families
+    // (data-driven, get->"null"), useAbbr/useMinimalAbbr/useMoreAbbr +
+    // the ABGENE/ABSTR*/GENIA/WEB*/IsURL/EntityRule/EntityTypes/
+    // IsDateRange/FREQ/ETSEQ/URLSEQ/MUC families + useClassFeature — all of
+    // whose annotations have NO producer anywhere in this source drop, so
+    // their templates are the constant strings we now emit. Still rejected:
+    // parse-annotation families (useNPHead/useNPGovernor/useHeadGov — Tree
+    // head/governor values), the XX-gated abbr variants (NPE in the
+    // reference itself, NERFeatureFactory.java:1053,1664), gazette
+    // ANNOTATION families (GazAnnotation.equals NPEs without a producer,
+    // :1025-1045), useUnknown (a REAL producer exists in the true-casing
+    // readers), and useGenericFeatures (arbitrary per-column generic
+    // annotations).
+    val mustBeFalse = Seq(
+      "useNPHead", "useNPGovernor", "useHeadGov",
+      "useAbbr1", "useMinimalAbbr1",
+      "useGazFeatures", "useMoreGazFeatures",
+      "useUnknown", "useGenericFeatures")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -217,7 +217,13 @@ private[ner] object RefTextFlags {
       bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"),
       bool("uselemmas"), bool("useprevnextlemmas"),
       bool("usechunks"), bool("usechunkysequences"),
-      bool("useabbr"), bool("useminimalabbr"))
+      bool("useabbr"), bool("useminimalabbr"),
+      bool("useabgene"), bool("useabstr"), bool("useabstrfreq"),
+      bool("useabstrfreqdict"), bool("usegenia"), bool("useweb"),
+      bool("usewebfreqdict"), bool("useisurl"), bool("useentityrule"),
+      bool("useentitytypes"), bool("useisdaterange"), bool("usefreq"),
+      bool("useentitytypesequences"), bool("useurlsequences"),
+      bool("usemucfeatures"), bool("useclassfeature"), bool("usemoreabbr"))
   }
 
   /** Families the model may have been trained with or without — either way
@@ -228,7 +234,7 @@ private[ner] object RefTextFlags {
     "useword", "useprev", "usenext", "usewordpairs", "usesequences",
     "useprevsequences", "uselongsequences", "useboundarysequences",
     "usetypeseqs", "usetypeseqs2", "usetypeysequences", "usengrams",
-    "usedisjunctive", "uselastrealword", "usenextrealword", "useclassfeature")
+    "usedisjunctive", "uselastrealword", "usenextrealword")
 
   /** Misc-family booleans tracked into MiscOpts (lowercased key names). */
   private val miscKeys = Set(
@@ -239,19 +245,20 @@ private[ner] object RefTextFlags {
     "usevb", "useshapeconjunctions", "usenextsequences", "usewidedisjunctive",
     "usedisjshape", "usedisjunctiveshapeinteraction", "uselemmas", "useprevnextlemmas",
     "usechunks", "usechunkysequences",
-    "useabbr", "useminimalabbr")
+    "useabbr", "useminimalabbr", "usemoreabbr",
+    "useabgene", "useabstr", "useabstrfreq", "useabstrfreqdict", "usegenia",
+    "useweb", "usewebfreqdict", "useisurl", "useentityrule", "useentitytypes",
+    "useisdaterange", "usefreq", "useentitytypesequences", "useurlsequences",
+    "usemucfeatures", "useclassfeature")
 
   /** Same closure as RefBinaryModel.validateFlags: families whose features
     * this engine cannot emit (external annotations/resources).
     */
-  private val mustBeFalse = Seq("useABGENE", "useWEB",
-    "useNPHead", "useNPGovernor", "useAbbr1", "useMinimalAbbr1",
-    "useIsURL", "useEntityTypes",
-    "useWEBFreqDict", "useUnknown", "useURLSequences",
-    "useMoreGazFeatures", "useMoreAbbr", "useMUCFeatures",
-    "useIsDateRange", "useHeadGov", "useGenericFeatures", "useGazFeatures",
-    "useGENIA", "useFREQ", "useEntityTypeSequences", "useEntityRule",
-    "useABSTRFreqDict", "useABSTRFreq", "useABSTR")
+  private val mustBeFalse = Seq(
+    "useNPHead", "useNPGovernor", "useHeadGov",
+    "useAbbr1", "useMinimalAbbr1",
+    "useGazFeatures", "useMoreGazFeatures",
+    "useUnknown", "useGenericFeatures")
   private val mustBeFalseLower = mustBeFalse.map(k => k.toLowerCase -> k).toMap
 
   /** Feature-neutral keys: I/O, reader/encoding, optimizer, evaluation —

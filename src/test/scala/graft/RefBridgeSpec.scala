@@ -1382,7 +1382,7 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
-  test("CHUNK+ABBR differential: reference trained with chunk data + the abbr constant families matches our tags") {
+  test("CHUNK+CONSTANTS differential: chunk data + every no-producer annotation family matches the reference's tags") {
     // Chunk features (NERFeatureFactory.java:1072-1076 C, :1541-1543 CpC via
     // useChunkySequences, :1792-1794 CpCp2C) read via `get` — an absent
     // chunk concatenates as the literal "null" — so unlike the lemma
@@ -1430,11 +1430,17 @@ class RefBridgeSpec extends AnyFunSuite {
       "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
       "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15",
       "-useChunks", "true", "-useChunkySequences", "true",
-      // the abbr families: constant-"null" emissions in this source drop
-      // (nothing sets AbbrAnnotation) — the leg proves the constants land
-      // byte-identically in both dictionaries. The XX-gated *1 variants NPE
-      // in the reference itself and stay rejected.
-      "-useAbbr", "true", "-useMinimalAbbr", "true")
+      // every no-producer annotation family (constant-"null" emissions in
+      // this source drop) — the leg proves the constants land byte-identically
+      // in both dictionaries. The XX-gated abbr *1 variants NPE in the
+      // reference itself and stay rejected.
+      "-useAbbr", "true", "-useMinimalAbbr", "true", "-useMoreAbbr", "true",
+      "-useABGENE", "true", "-useABSTR", "true", "-useABSTRFreq", "true",
+      "-useABSTRFreqDict", "true", "-useGENIA", "true", "-useWEB", "true",
+      "-useWEBFreqDict", "true", "-useIsURL", "true", "-useEntityRule", "true",
+      "-useEntityTypes", "true", "-useIsDateRange", "true", "-useFREQ", "true",
+      "-useEntityTypeSequences", "true", "-useURLSequences", "true",
+      "-useMUCFeatures", "true", "-useClassFeature", "true")
     def ref(args: String*): Int =
       (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
         "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
@@ -1450,12 +1456,18 @@ class RefBridgeSpec extends AnyFunSuite {
     val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
     assert(model.miscOpts.useChunks && model.miscOpts.useChunkySequences,
       "chunk flags not recovered from the binary bundle")
-    assert(model.miscOpts.useAbbr && model.miscOpts.useMinimalAbbr,
-      "abbr flags not recovered from the binary bundle")
-    assert(model.featureIndex.containsKey("null-ABBR|C") &&
-      model.featureIndex.containsKey("null-null-PABBRANS|CpC") &&
-      model.featureIndex.containsKey("null-null-null-2PABBRANS|CpCp2C"),
-      "abbr constants absent from the reference-trained dictionary")
+    assert(model.miscOpts.useAbbr && model.miscOpts.useMinimalAbbr &&
+      model.miscOpts.useMoreAbbr && model.miscOpts.useABGENE &&
+      model.miscOpts.useGENIA && model.miscOpts.useMUCFeatures &&
+      model.miscOpts.useClassFeature && model.miscOpts.useURLSequences,
+      "constant-family flags not recovered from the binary bundle")
+    for (f <- Seq("null-ABBR|C", "null-null-PABBRANS|CpC",
+        "null-null-null-2PABBRANS|CpCp2C", "null-null-P2AP2CABB|Cp2C",
+        "null-null-P2ABBRANS|Cp2C", "null-ABGENE|C", "null-GENIA|C",
+        "null-WEB|C", "null-ISURL|C", "null-ENTITYRULE|C", "null-ENTITYTYPE|C",
+        "null-ISDATERANGE|C", "null-FREQ|C", "null-SECTION|C", "###|C",
+        "null-null-ETSEQ|CpC", "null-null-URLSEQ|CpC"))
+      assert(model.featureIndex.containsKey(f), s"constant '$f' absent from the reference-trained dictionary")
     val nChunk = model.featureIndex.keySet().asScala.count(f =>
       f.contains("CHUNK") || f.endsWith("-2PCHUNKS|CpCp2C"))
     info(s"model carries $nChunk chunk features of ${model.numFeatures}")

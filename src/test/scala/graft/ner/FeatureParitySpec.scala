@@ -151,7 +151,13 @@ class FeatureParitySpec extends AnyFunSuite {
       useDisjShape = true, useDisjunctiveShapeInteraction = true,
       useLemmas = true, usePrevNextLemmas = true,
       useChunks = true, useChunkySequences = true,
-      useAbbr = true, useMinimalAbbr = true)
+      useAbbr = true, useMinimalAbbr = true, useMoreAbbr = true,
+      useABGENE = true, useABSTR = true, useABSTRFreq = true,
+      useABSTRFreqDict = true, useGENIA = true, useWEB = true,
+      useWEBFreqDict = true, useIsURL = true, useEntityRule = true,
+      useEntityTypes = true, useIsDateRange = true, useFREQ = true,
+      useEntityTypeSequences = true, useURLSequences = true,
+      useMUCFeatures = true, useClassFeature = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -198,6 +204,15 @@ class FeatureParitySpec extends AnyFunSuite {
     assert(dict.containsKey("null-ABBR|C") && dict.containsKey("null-null-PCABBR|C") &&
       dict.containsKey("Smith-null-CWABB|C") && dict.containsKey("null-null-PABBRANS|CpC") &&
       dict.containsKey("null-null-null-2PABBRANS|CpCp2C"))
+    // the other no-producer constants, incl. the tag- and shape-conjoined
+    // variants and the class bias feature
+    assert(dict.containsKey("null-GENIA|C") && dict.containsKey("null-ISURL|C") &&
+      dict.containsKey("null-null-ETSEQ|CpC") && dict.containsKey("null-null-URLSEQ|CpC") &&
+      dict.containsKey("null-null-P2AP2CABB|Cp2C") && dict.containsKey("###|C"))
+    assert(dict.containsKey("null-ABSTRACTnull-FREQNNP-TAG|C"),
+      "ABSTRFreqDict conjoins the real POS tag")
+    assert(dict.keySet.toArray.exists(_.toString.endsWith("-WORD_POSITION_SHAPE|C")),
+      "MUC shape conjunction uses the real token shape")
     assert(dict.keySet.toArray.exists(_.toString.endsWith("-NDISJSHAPE|C")))
     assert(dict.keySet.toArray.exists(_.toString.contains("-CNDISJSHAPE|C")))
     assert(dict.containsKey("null-NDISJSHAPE|C"), "pad shape reads as the literal null (get)")
