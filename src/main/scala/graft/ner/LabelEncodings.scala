@@ -74,6 +74,72 @@ object LabelEncodings {
       else l
     }
 
+  /** BYTE-exact port of the reference's per-token transcode
+    * (CoNLLDocumentReaderAndWriter.entitySubclassify, :100-195), quirks
+    * included — differentialed against the compiled reference over all six
+    * styles (`RefLabelEncodingSpec`):
+    *   - operates only on PREFIXED labels (`X-...`); bare labels (incl. "O")
+    *     pass through unchanged;
+    *   - the "io" style KEEPS the I- prefix (I-PER, not PER — `toIO` is the
+    *     separate training-time collapse);
+    *   - `isEndAdjacentSame`'s last disjunct tests the PREVIOUS token's
+    *     prefix for 'S' where the next token's was clearly intended
+    *     (:141 `pPrefix == 'S'`) — mirrored verbatim;
+    *   - an unknown style falls back to "io" (:116-117).
+    */
+  def entitySubclassify(labels: Seq[String], style: String): Seq[String] = {
+    val how = style.toLowerCase match {
+      case "iob1" => 0
+      case "iob2" => 1
+      case "ioe1" => 2
+      case "ioe2" => 3
+      case "io" => 4
+      case "sbieo" => 5
+      case _ => 4
+    }
+    val k = labels.length
+    // PaddedList semantics: out-of-range -> a fresh CoreLabel whose answer
+    // reads null -> OTHER
+    @inline def at(i: Int): String =
+      if (i >= 0 && i < k) labels(i) else null
+    val out = new Array[String](k)
+    var i = 0
+    while (i < k) {
+      val cAns = labels(i)
+      if (cAns.length > 1 && cAns.charAt(1) == '-') {
+        val pAns = { val a = at(i - 1); if (a == null) bg else a }
+        val nAns = { val a = at(i + 1); if (a == null) bg else a }
+        val base = cAns.substring(2)
+        val pBase = if (pAns.length > 2) pAns.substring(2) else pAns
+        val nBase = if (nAns.length > 2) nAns.substring(2) else nAns
+        val prefix = cAns.charAt(0)
+        val pPrefix = if (pAns.nonEmpty) pAns.charAt(0) else ' '
+        val nPrefix = if (nAns.nonEmpty) nAns.charAt(0) else ' '
+        val isStartAdjacentSame = base == pBase &&
+          (prefix == 'B' || prefix == 'S' || pPrefix == 'E' || pPrefix == 'S')
+        // reference quirk (:141): pPrefix, not nPrefix, in the last disjunct
+        val isEndAdjacentSame = base == nBase &&
+          (prefix == 'E' || prefix == 'S' || nPrefix == 'B' || pPrefix == 'S')
+        val isFirst = base != pBase || cAns.charAt(0) == 'B'
+        val isLast = base != nBase || nAns.charAt(0) == 'B'
+        out(i) = how match {
+          case 0 => if (isStartAdjacentSame) "B-" + base else "I-" + base
+          case 1 => if (isFirst) "B-" + base else "I-" + base
+          case 2 => if (isEndAdjacentSame) "E-" + base else "I-" + base
+          case 3 => if (isLast) "E-" + base else "I-" + base
+          case 4 => "I-" + base
+          case 5 =>
+            if (isFirst && isLast) "S-" + base
+            else if (!isFirst && isLast) "E-" + base
+            else if (isFirst && !isLast) "B-" + base
+            else "I-" + base
+        }
+      } else out(i) = cAns
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Span equality across encodings: decode both to (start,end,type) sets. */
   def spansOf(labels: Seq[String]): Set[(Int, Int, String)] = {
     val io = toIO(labels)
