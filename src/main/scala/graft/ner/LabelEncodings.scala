@@ -140,6 +140,31 @@ object LabelEncodings {
     out.toSeq
   }
 
+  /** BYTE-exact port of the reference's write-side back-conversion to IOB1
+    * (CoNLLDocumentReaderAndWriter.deEndify, :255-283; applied by
+    * printAnswers unless the style is already iob1 or
+    * retainEntitySubclassification is set): a prefixed label becomes B-base
+    * iff the previous label shares its base AND the current prefix is B or
+    * S; every other prefixed label becomes I-base; bare labels pass through.
+    * Domain quirk mirrored as a loud error: a PREFIXED label at position 0
+    * NPEs in the reference (the pad's null answer hits .length(), :268) —
+    * unreachable in its own pipeline because every CoNLL document starts
+    * with the -DOCSTART- boundary token labeled "O".
+    */
+  def deEndify(labels: Seq[String]): Seq[String] =
+    labels.zipWithIndex.map { case (cAns, i) =>
+      if (cAns.length > 1 && cAns.charAt(1) == '-') {
+        require(i > 0,
+          "deEndify: prefixed label at position 0 (the reference NPEs here; CoNLL docs start with the boundary token)")
+        val pAns = labels(i - 1)
+        val base = cAns.substring(2)
+        val pBase = if (pAns.length <= 2) pAns else pAns.substring(2)
+        val isSecond = base == pBase
+        val isStart = cAns.charAt(0) == 'B' || cAns.charAt(0) == 'S'
+        if (isSecond && isStart) "B-" + base else "I-" + base
+      } else cAns
+    }
+
   /** Span equality across encodings: decode both to (start,end,type) sets. */
   def spansOf(labels: Seq[String]): Set[(Int, Int, String)] = {
     val io = toIO(labels)

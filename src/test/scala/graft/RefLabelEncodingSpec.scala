@@ -86,4 +86,74 @@ class RefLabelEncodingSpec extends AnyFunSuite {
     }
     info(s"$checked transcodes byte-identical across ${styles.distinct.length} styles (incl. case-insensitive + unknown-style fallback)")
   }
+
+  private val deEndifyProbeSrc =
+    """import edu.stanford.nlp.sequences.CoNLLDocumentReaderAndWriter;
+      |import edu.stanford.nlp.sequences.SeqClassifierFlags;
+      |import edu.stanford.nlp.ling.CoreLabel;
+      |import edu.stanford.nlp.ling.CoreAnnotations.AnswerAnnotation;
+      |import java.lang.reflect.Method;
+      |import java.util.*;
+      |
+      |public class DeEndifyProbe {
+      |  public static void main(String[] args) throws Exception {
+      |    CoNLLDocumentReaderAndWriter rw = new CoNLLDocumentReaderAndWriter();
+      |    rw.init(new SeqClassifierFlags());
+      |    Method m = CoNLLDocumentReaderAndWriter.class.getDeclaredMethod(
+      |      "deEndify", List.class);
+      |    m.setAccessible(true);
+      |    Scanner sc = new Scanner(System.in);
+      |    while (sc.hasNextLine()) {
+      |      String line = sc.nextLine();
+      |      if (line.isEmpty()) continue;
+      |      String[] ls = line.split(" ");
+      |      List<CoreLabel> lis = new ArrayList<CoreLabel>();
+      |      for (String l : ls) {
+      |        CoreLabel c = new CoreLabel();
+      |        c.set(AnswerAnnotation.class, l);
+      |        lis.add(c);
+      |      }
+      |      try {
+      |        m.invoke(rw, lis);
+      |        StringBuilder sb = new StringBuilder();
+      |        for (CoreLabel c : lis) {
+      |          if (sb.length() > 0) sb.append(' ');
+      |          sb.append(c.get(AnswerAnnotation.class));
+      |        }
+      |        System.out.println(sb);
+      |      } catch (Exception e) {
+      |        System.out.println("NPE");
+      |      }
+      |    }
+      |  }
+      |}
+      |""".stripMargin
+
+  test("deEndify matches the reference byte for byte (incl. the position-0 NPE domain quirk)") {
+    assume(RefBuild.ensureCompiled(), "reference source/javac not available")
+    val alphabet = Vector("O", "PER", "I-PER", "B-PER", "E-PER", "S-PER",
+      "I-LOC", "B-LOC", "E-LOC", "S-LOC")
+    // first label bare (the reference's own pipeline guarantees the boundary
+    // token there), rest random
+    val vectors = (0 until 50).map { d =>
+      val n = (4 + (pipeline.Transcripts.splitmix64(0xdeedL + d) & 7)).toInt
+      Vector("O") ++ Vector.tabulate(n) { i =>
+        alphabet(((pipeline.Transcripts.splitmix64(d * 89L + i * 13L) >>> 8) % alphabet.length).toInt)
+      }
+    } :+ Vector("I-PER", "O") // the undefined case: reference NPEs, we throw
+    val input = vectors.map(_.mkString(" ")).mkString("", "\n", "\n")
+    val out = RefBuild.runProbe("DeEndifyProbe", deEndifyProbeSrc, input)
+    assert(out.isDefined, "probe build/run failed")
+    val refLines = out.get.filter(_.nonEmpty)
+    assert(refLines.length == vectors.length)
+    vectors.zip(refLines).foreach { case (ls, refOut) =>
+      if (refOut == "NPE")
+        assertThrows[IllegalArgumentException](LabelEncodings.deEndify(ls))
+      else
+        assert(LabelEncodings.deEndify(ls).mkString(" ") == refOut,
+          s"in=${ls.mkString(" ")}\nours=${LabelEncodings.deEndify(ls).mkString(" ")}\nref =$refOut")
+    }
+    assert(refLines.last == "NPE", "the position-0 quirk vector must actually NPE in the reference")
+    info(s"${vectors.length - 1} deEndify vectors byte-identical + the NPE domain quirk confirmed")
+  }
 }
