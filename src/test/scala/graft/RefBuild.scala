@@ -32,10 +32,15 @@ object RefBuild {
     Files.writeString(work.resolve(s"$name.java"), source)
     if (Seq("javac", "-nowarn", "-cp", s"$dir/classes", "-d", work.toString,
         work.resolve(s"$name.java").toString).! != 0) return None
-    val out = new StringBuilder
-    val rc = (Seq("java", "-cp", s"$work${java.io.File.pathSeparator}$dir/classes", name) #<
-      new java.io.ByteArrayInputStream(input.getBytes("UTF-8")))
-      .!(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }, _ => ()))
-    if (rc != 0) None else Some(out.toString.linesIterator.toVector)
+    // output goes through a FILE read back as UTF-8: the forked test JVM may
+    // run with an ASCII default charset, and ProcessLogger decodes child
+    // stdout with it — any raw non-ASCII char in probe output would become
+    // U+FFFD (seen with the word-shape probe)
+    val outFile = work.resolve("out.txt")
+    val rc = ((Seq("java", "-Dfile.encoding=UTF-8", "-cp",
+      s"$work${java.io.File.pathSeparator}$dir/classes", name) #<
+      new java.io.ByteArrayInputStream(input.getBytes("UTF-8"))) #> outFile.toFile).!
+    if (rc != 0) None
+    else Some(new String(Files.readAllBytes(outFile), "UTF-8").linesIterator.toVector)
   }
 }
