@@ -1493,6 +1493,67 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
+  test("PLAINTEXT differential: raw text through tokenize -> sentence-split -> tag matches the reference end-to-end") {
+    // Every other leg feeds pre-tokenized column data, so the reference's
+    // PTBTokenizer + WordToSentenceProcessor never ran against our
+    // Tokenizer/SentenceSplitter. This leg drives `-textFile` (CRFClassifier
+    // main :1758-1762 -> PlainTextDocumentReaderAndWriter: PTBTokenizer over
+    // the whole stream, sentence split, tag, slashTags tokenized output) on
+    // the detokenized transcript turns and compares the FLATTENED
+    // (token, tag) stream against our pipeline on the same text — one
+    // divergent token anywhere desynchronizes the zip and fails loudly.
+    val dir = "/tmp/refbridge"
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$dir/ref.ser.gz")), "bridge artifacts not present")
+    val turnsWords = (for {
+      conv <- 0L until 150L
+      t <- 0 until graft.pipeline.Transcripts.numTurns(99L, conv)
+      if !graft.pipeline.Transcripts.isToolTurn(99L, conv, t)
+    } yield graft.pipeline.Transcripts.turnTokens(99L, conv, t)._1).toVector
+    val texts = turnsWords.map(graft.pipeline.Transcripts.detokenize)
+    Files.writeString(Paths.get(s"$dir/plain.txt"), texts.mkString("\n") + "\n")
+    val cmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-textFile", s"$dir/plain.txt")
+    assert((cmd #> new java.io.File(s"$dir/plain_out.txt")).! == 0, "reference -textFile run failed")
+    val refPairs = Files.readString(Paths.get(s"$dir/plain_out.txt")).split("\\s+")
+      .filter(_.nonEmpty).map { s =>
+        val i = s.lastIndexOf('/')
+        require(i > 0, s"unparseable slashTag '$s'")
+        (s.substring(0, i), s.substring(i + 1))
+      }.toVector
+    // ours: same text through OUR tokenizer + splitter + the bridged model;
+    // knownLC grown with the plain corpus tokens like the reference's
+    // pre-pass does at tagging time
+    val lcPlain = turnsWords.flatten.map(graft.text.WordShape.fixWord)
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcPlain)
+    val ourPairs = texts.flatMap { text =>
+      val sentences = graft.text.SentenceSplitter.split(graft.text.Tokenizer.tokenize(text))
+      sentences.flatMap { sent =>
+        val words = sent.map(_.word)
+        words.zip(model.tag(words))
+      }
+    }
+    assert(ourPairs.length == refPairs.length,
+      s"token streams diverge in LENGTH: ours=${ourPairs.length} ref=${refPairs.length}")
+    var tokAgree = 0L; var tagAgree = 0L
+    val bad = Vector.newBuilder[String]
+    ourPairs.zip(refPairs).zipWithIndex.foreach { case (((ow, ot), (rw, rt)), i) =>
+      // the reference prints the TIMEX-FIXED word (its ObjectBankWrapper
+      // lowercases month/day words in place before slashTags output), so the
+      // comparable form of our raw token is fixWord(token)
+      if (graft.text.WordShape.fixWord(ow) == rw) tokAgree += 1
+      else bad += s"tok $i: ours='$ow' ref='$rw'"
+      if (ot == rt) tagAgree += 1 else bad += s"tag $i '$ow': ours=$ot ref=$rt"
+    }
+    info(f"plaintext: ${ourPairs.length} tokens; token agreement ${tokAgree.toDouble / ourPairs.length}%.5f, " +
+      f"tag agreement ${tagAgree.toDouble / ourPairs.length}%.5f")
+    assert(tokAgree == ourPairs.length, s"tokenizer divergence:\n${bad.result().take(8).mkString("\n")}")
+    assert(tagAgree.toDouble / ourPairs.length >= 0.995,
+      s"tag agreement too low:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("TEXT FLAGS differential: flag-bearing serializeToText model loads via the PARSED flags block") {
     // Round-5 closure of the last RefTextModel gap: the loader used to skip
     // the <flags> block, so a text model trained with option-bearing flags
