@@ -124,5 +124,20 @@ class PipelineSpec extends AnyFunSuite {
     val loaded2 = NerModel.load(path2)
     assert(loaded2.ngramOpts == opt.ngramOpts)
     assert(loaded2.disjunctionWidth == 2)
+    // the full misc trailer round-trips, incl. the round-5 additions (lemma/
+    // chunk/abbr families, the no-producer constants, useClassFeature)
+    val mo = graft.ner.NerFeatures.MiscOpts(useTitle = true, useOrdinal = true,
+      useNextSequences = true, useWideDisjunctive = true, wideDisjunctionWidth = 7,
+      useLemmas = true, usePrevNextLemmas = true, useChunks = true,
+      useChunkySequences = true, useAbbr = true, useMinimalAbbr = true,
+      useMoreAbbr = true, useABGENE = true, useGENIA = true, useWEB = true,
+      useIsURL = true, useEntityTypes = true, useFREQ = true,
+      useEntityTypeSequences = true, useURLSequences = true,
+      useMUCFeatures = true, useClassFeature = true)
+    val mm = new graft.ner.NerModel(model.classIndex, model.backgroundIndex,
+      model.featureIndex, model.layout, model.weights, model.knownLC, miscOpts = mo)
+    val path3 = java.nio.file.Files.createTempDirectory("nermodel").resolve("m3.gz").toString
+    NerModel.save(mm, path3)
+    assert(NerModel.load(path3).miscOpts == mo, "misc trailer round-trip")
   }
 }
