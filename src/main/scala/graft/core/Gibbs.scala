@@ -60,6 +60,98 @@ object Gibbs {
     }
   }
 
+  /** Reference-faithful CRF term for Gibbs sampling — what `classifyGibbs`
+    * ACTUALLY samples from (CRFCliqueTree.scoresOf, CRFCliqueTree.java:86-139):
+    * the sum of two CALIBRATED window marginals,
+    * `M_pos(prev ++ label) + M_{pos+nl}(label ++ next)`, where the
+    * "conditional given first" normalization is commented out in the source
+    * (FactorTable.unnormalizedConditionalLogProbGivenFirst,
+    * FactorTable.java:280-299, returns the raw marginal) — so the sampling
+    * distribution is proportional to the TRUE conditional times the label's
+    * own window marginal, and for windowSize > 2 it additionally drops the
+    * cross-window coupling (the file-head TODO at SequenceGibbsSampler.java:13
+    * concedes scoresOf is not used "properly"). Near the right edge the next
+    * table is reduced with sumOutFront (FactorTable.java:426-433, oldest
+    * label marginalized out); at the last position the next term is the
+    * constant 1.0 (`Arrays.fill(probNextGivenThis, 1.0)` — a literal 1.0 in
+    * LOG space, label-independent so it cancels in the softmax).
+    * `CrfScorer` is the exact-conditional alternative (enumeration-pinned by
+    * GibbsSpec); this class exists for sampling-trajectory parity.
+    */
+  final class RefCliqueScorer(potentials: Array[Array[Double]], p: Crf.Params)
+      extends SequenceScorer {
+    private val cal = Crf.forwardBackward(potentials, p)
+    private val C = p.numClasses
+    def length: Int = potentials.length
+    def numClasses: Int = C
+
+    // factorTables[pos] with the `drop` oldest labels summed out, memoized
+    private val reduced = new java.util.HashMap[Long, Array[Double]]
+    private def table(pos: Int, drop: Int): Array[Double] = {
+      if (drop == 0) return cal.logMarginals(pos)
+      val key = pos.toLong * 8 + drop
+      var t = reduced.get(key)
+      if (t == null) {
+        val src = table(pos, drop - 1)
+        val out = Array.fill(src.length / C)(Double.NegativeInfinity)
+        var i = 0
+        while (i < src.length) {
+          val j = i % out.length // low digits = newest labels kept
+          val a = out(j); val b = src(i)
+          out(j) =
+            if (a == Double.NegativeInfinity) b
+            else if (b == Double.NegativeInfinity) a
+            else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+          i += 1
+        }
+        reduced.put(key, out)
+        t = out
+      }
+      t
+    }
+
+    def logScoresAt(seq: Array[Int], pos: Int): Array[Double] = {
+      val n = length
+      val w = p.windowSize
+      val prevLen = w - 1
+      // prev window at table `pos`, left-padded with background
+      // (CRFCliqueTree.java:96-109)
+      var base = 0
+      var i = 0
+      while (i < prevLen) {
+        val q = pos - prevLen + i
+        base = base * C + (if (q < 0) p.backgroundIndex else seq(q))
+        i += 1
+      }
+      val mPrev = cal.logMarginals(pos)
+      var nextLength = w - 1
+      if (pos + nextLength >= n) nextLength = n - pos - 1
+      val tNext = if (nextLength == 0) null else table(pos + nextLength, w - 1 - nextLength)
+      var nextLow = 0
+      i = 0
+      while (i < nextLength) { nextLow = nextLow * C + seq(pos + 1 + i); i += 1 }
+      val stride = Crf.pow(C, nextLength)
+      val out = new Array[Double](C)
+      var c = 0
+      while (c < C) {
+        val v2 = if (tNext == null) 1.0 else tNext(c * stride + nextLow)
+        out(c) = mPrev(base * C + c) + v2
+        c += 1
+      }
+      out
+    }
+
+    /** Raw potential sum — the reference's ct.scoreOf is this minus the
+      * constant logZ, so best-iterate tracking decisions coincide.
+      */
+    def scoreOf(seq: Array[Int]): Double = {
+      var s = 0.0
+      var pos = 0
+      while (pos < length) { s += potentials(pos)(Crf.windowEnc(seq, pos, p)); pos += 1 }
+      s
+    }
+  }
+
   /** Sum of scorers (FactoredSequenceModel.java): CRF + priors. */
   final class FactoredScorer(scorers: Seq[SequenceScorer]) extends SequenceScorer {
     require(scorers.nonEmpty && scorers.forall(s =>
@@ -166,15 +258,19 @@ object Gibbs {
     while (pos < seq.length) { samplePosition(scorer, seq, pos, temperature, rng); pos += 1 }
   }
 
-  /** Annealed decode (findBestUsingAnnealing, SequenceGibbsSampler.java:89-126):
+  /** Annealed decode (findBestUsingAnnealing, SequenceGibbsSampler.java:89-125):
     * one forward sweep per schedule step, tracking the best-scoring sequence.
+    * Reference quirk mirrored: the initial sequence's score is computed but
+    * overwritten before any comparison (`score` at :98 is reassigned at :109
+    * before the first `score>bestScore` test), so best is tracked over
+    * POST-SWEEP iterates only — the init itself can never be returned unless
+    * a sweep reproduces it.
     */
   def findBestUsingAnnealing(scorer: SequenceScorer, schedule: Cooling,
-      init: Array[Int], seed: Long = 0x91bb5L): Array[Int] = {
-    val rng = new Random(seed)
+      init: Array[Int], rng: Random): Array[Int] = {
     val seq = init.clone()
-    var best = seq.clone()
-    var bestScore = scorer.scoreOf(seq)
+    var best: Array[Int] = null
+    var bestScore = Double.NegativeInfinity
     var i = 0
     while (i < schedule.numIterations) {
       sampleSweepForward(scorer, seq, schedule.temperature(i), rng)
@@ -182,6 +278,10 @@ object Gibbs {
       if (sc > bestScore) { bestScore = sc; best = seq.clone() }
       i += 1
     }
-    best
+    if (best == null) init.clone() else best
   }
+
+  def findBestUsingAnnealing(scorer: SequenceScorer, schedule: Cooling,
+      init: Array[Int], seed: Long = 0x91bb5L): Array[Int] =
+    findBestUsingAnnealing(scorer, schedule, init, new Random(seed))
 }

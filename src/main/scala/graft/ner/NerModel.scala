@@ -251,13 +251,23 @@ final class NerModel(
     * of the reference's entity priors). With penalty 0 this anneals the plain
     * CRF and converges to the Viterbi answer; a positive penalty trades
     * per-position likelihood for same-word label consistency across the doc.
+    *
+    * `referenceConditionals = true` samples from the reference's ACTUAL
+    * per-position distribution (Gibbs.RefCliqueScorer — the calibrated
+    * marginal composition classifyGibbs uses, which over-weights each label
+    * by its own window marginal; see the scorer's doc). The default samples
+    * the exact conditional (Gibbs.CrfScorer, enumeration-pinned) — our
+    * documented improvement, analogous to the exact k-best finder.
     */
   def tagGibbs(words: IndexedSeq[String], consistencyPenalty: Double = 0.0,
-      sweeps: Int = 100, seed: Long = 0x91bb5L, useNerPrior: Boolean = false): Array[String] = {
+      sweeps: Int = 100, seed: Long = 0x91bb5L, useNerPrior: Boolean = false,
+      referenceConditionals: Boolean = false): Array[String] = {
     if (words.isEmpty) return Array.empty
     val in = if (useReverse) words.reverse else words
     val pots = Crf.logPotentials(encodeFast(in), params)
-    val crf = new graft.core.Gibbs.CrfScorer(pots, params)
+    val crf: graft.core.Gibbs.SequenceScorer =
+      if (referenceConditionals) new graft.core.Gibbs.RefCliqueScorer(pots, params)
+      else new graft.core.Gibbs.CrfScorer(pots, params)
     // -useNERPrior: the reference's empirical entity-pair penalty matrices
     // (EmpiricalNERPrior.java), factored next to the CRF exactly like the
     // consistency prior

@@ -1294,6 +1294,283 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(nEnumDocs >= 30)
   }
 
+  test("GIBBS SAMPLER differential: seeded annealing trajectory under -useNERPrior matches the reference") {
+    // The reference's SequenceGibbsSampler draws from an UNSEEDED static
+    // java.util.Random (SequenceGibbsSampler.java:25) — previously documented
+    // as unbridgeable. It is bridgeable: the field is reflectively
+    // injectable, so a probe drives the REAL classifyGibbs machinery
+    // (calibrated clique tree + EmpiricalNERPrior + FactoredSequenceModel +
+    // FactoredSequenceListener + SequenceGibbsSampler with Viterbi init,
+    // CRFClassifier.java:721-794) under a seeded RNG and logs every per-step
+    // conditional distribution and sampled choice; our side replays the SAME
+    // uniforms through a mirrored java.util.Random. Raw values are NOT
+    // bit-comparable — our CRF conditionals are raw potential sums, the
+    // reference's come from its truncating-logSum calibration (the ~2.6e-6
+    // drift the MARGINALS leg arbitrated reference-side) — so the leg
+    // asserts what the float model supports:
+    //  (1) normalized per-step conditionals match within 1e-5 at EVERY step
+    //      along the reference's own trajectory (teacher-forced lockstep);
+    //  (2) our production samplePosition, fed the same uniform, picks the
+    //      reference's tag except when the uniform provably lands within
+    //      1e-4 of a CDF boundary (counted and bounded);
+    //  (3) per-sweep score DELTAS match within 1e-3 (the prior term is
+    //      bit-exact arithmetic; the CRF term differs by the constant logZ,
+    //      which the delta cancels);
+    //  (4) the best-iterate pick of the reference's own findBestUsingAnnealing
+    //      (run untouched as probe phase 2) is exactly the strict-> argmax
+    //      over the phase-1 trajectory — pinning the post-sweep-only best
+    //      tracking our production mirrors;
+    //  (5) on docs with no boundary event and a decisive best margin, our
+    //      PRODUCTION findBestUsingAnnealing under the mirrored RNG returns
+    //      the reference's best sequence tag-for-tag.
+    val dir = "/tmp/refbridge"
+    assume(Files.exists(Paths.get(s"$dir/ref.ser.gz")), "bridge artifacts not present")
+    assume(RefBuild.ensureCompiled(), "reference build unavailable")
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    val sweeps = 30; val maxDocs = 24; val maxLen = 25; val seedBase = 20260817L
+    val probe =
+      """import edu.stanford.nlp.ie.crf.CRFClassifier;
+        |import edu.stanford.nlp.ie.crf.CRFCliqueTree;
+        |import edu.stanford.nlp.ie.EmpiricalNERPrior;
+        |import edu.stanford.nlp.sequences.*;
+        |import edu.stanford.nlp.ling.CoreLabel;
+        |import edu.stanford.nlp.util.Index;
+        |import edu.stanford.nlp.util.Pair;
+        |import java.util.*;
+        |import java.lang.reflect.Field;
+        |
+        |public class GibbsProbe {
+        |  static String join(int[] a) { StringBuilder sb = new StringBuilder(); for (int x : a) { if (sb.length()>0) sb.append(' '); sb.append(x); } return sb.toString(); }
+        |  static int[] copy(int[] a) { int[] r = new int[a.length]; System.arraycopy(a,0,r,0,a.length); return r; }
+        |  public static void main(String[] args) throws Exception {
+        |    Scanner sc = new Scanner(System.in, "UTF-8");
+        |    String[] ps = sc.nextLine().split("\\|");
+        |    String modelPath = ps[0], testFile = ps[1];
+        |    long seedBase = Long.parseLong(ps[2]);
+        |    int sweeps = Integer.parseInt(ps[3]), maxDocs = Integer.parseInt(ps[4]), maxLen = Integer.parseInt(ps[5]);
+        |    Properties props = new Properties();
+        |    props.setProperty("conllNoTags", "true");
+        |    CRFClassifier crf = new CRFClassifier(props);
+        |    crf.loadClassifier(new java.io.File(modelPath), props);
+        |    Field wf = CRFClassifier.class.getDeclaredField("weights"); wf.setAccessible(true);
+        |    double[][] weights = (double[][]) wf.get(crf);
+        |    Field lif = CRFClassifier.class.getDeclaredField("labelIndices"); lif.setAccessible(true);
+        |    Index[] labelIndices = (Index[]) lif.get(crf);
+        |    Field rf = SequenceGibbsSampler.class.getDeclaredField("random"); rf.setAccessible(true);
+        |    CoolingSchedule schedule = CoolingSchedule.getLinearSchedule(1.0, sweeps);
+        |    StringBuilder cb = new StringBuilder();
+        |    for (int c = 0; c < crf.classIndex.size(); c++) { if (cb.length()>0) cb.append(' '); cb.append((String) crf.classIndex.get(c)); }
+        |    System.out.println("CLASSES " + cb);
+        |    int docIdx = -1, used = 0;
+        |    for (List<CoreLabel> doc : crf.makeObjectBankFromFile(testFile)) {
+        |      docIdx++;
+        |      int n = doc.size();
+        |      if (used >= maxDocs) break;
+        |      if (n > maxLen) continue;
+        |      used++;
+        |      long seed = seedBase * 1000003L + docIdx;
+        |      Pair<int[][][],int[]> pr = crf.documentToDataAndLabels(doc);
+        |      CRFCliqueTree ct = CRFCliqueTree.getCalibratedCliqueTree(weights, pr.first(), labelIndices,
+        |          crf.classIndex.size(), crf.classIndex, crf.flags.backgroundSymbol);
+        |      CRFClassifier.TestSequenceModel tsm = new CRFClassifier.TestSequenceModel(ct);
+        |      int[] vit = new ExactBestSequenceFinder().bestSequence(tsm);
+        |      int[] init = new int[n];
+        |      System.arraycopy(vit, crf.windowSize - 1, init, 0, n);
+        |      StringBuilder wb = new StringBuilder();
+        |      for (CoreLabel cl : doc) { if (wb.length()>0) wb.append(' '); wb.append(cl.word()); }
+        |      System.out.println("DOC " + docIdx + " " + n);
+        |      System.out.println("WORDS " + wb);
+        |      System.out.println("INIT " + join(init));
+        |      { // phase 1: instrumented drive of the identical sampling loop
+        |        EmpiricalNERPrior prior = new EmpiricalNERPrior(crf.flags.backgroundSymbol, crf.classIndex, doc);
+        |        FactoredSequenceModel model = new FactoredSequenceModel(ct, prior);
+        |        FactoredSequenceListener listener = new FactoredSequenceListener(ct, prior);
+        |        SequenceGibbsSampler sampler = new SequenceGibbsSampler(0, 0, listener);
+        |        rf.set(null, new Random(seed));
+        |        int[] seq = copy(init);
+        |        listener.setInitialSequence(seq);
+        |        for (int it = 0; it < schedule.numIterations(); it++) {
+        |          double t = schedule.getTemperature(it);
+        |          for (int pos = 0; pos < n; pos++) {
+        |            double[] dist = model.scoresOf(seq, pos);
+        |            StringBuilder sb = new StringBuilder("STEP ");
+        |            sb.append(it).append(' ').append(pos);
+        |            for (double d : dist) sb.append(' ').append(Double.toString(d));
+        |            sampler.samplePosition(model, seq, pos, t);
+        |            sb.append(' ').append(seq[pos]);
+        |            System.out.println(sb);
+        |          }
+        |          System.out.println("SCORE " + it + " " + Double.toString(model.scoreOf(seq)));
+        |        }
+        |      }
+        |      { // phase 2: the reference's own findBestUsingAnnealing, untouched
+        |        EmpiricalNERPrior prior = new EmpiricalNERPrior(crf.flags.backgroundSymbol, crf.classIndex, doc);
+        |        FactoredSequenceModel model = new FactoredSequenceModel(ct, prior);
+        |        FactoredSequenceListener listener = new FactoredSequenceListener(ct, prior);
+        |        SequenceGibbsSampler sampler = new SequenceGibbsSampler(0, 0, listener);
+        |        rf.set(null, new Random(seed));
+        |        int[] best = sampler.findBestUsingAnnealing(model, schedule, copy(init));
+        |        System.out.println("BEST " + join(best));
+        |      }
+        |    }
+        |    System.out.println("DONE " + used);
+        |  }
+        |}
+        |""".stripMargin
+    val out = RefBuild.runProbe("GibbsProbe", probe,
+      s"$dir/ref.ser.gz|$dir/test.tsv|$seedBase|$sweeps|$maxDocs|$maxLen\n")
+    assert(out.isDefined, "gibbs probe failed")
+    val lines = out.get
+
+    // ---- parse the probe transcript ----
+    final case class Step(it: Int, pos: Int, dist: Array[Double], choice: Int)
+    final case class GDoc(docIdx: Int, n: Int, words: String, init: Array[Int],
+        steps: Vector[Step], scores: Vector[Double], best: Array[Int])
+    var classesLine = ""
+    val docs = Vector.newBuilder[GDoc]
+    var cur: (Int, Int, String, Array[Int]) = null
+    var steps = Vector.newBuilder[Step]
+    var scores = Vector.newBuilder[Double]
+    lines.foreach { l =>
+      val t = l.split(" ")
+      t(0) match {
+        case "CLASSES" => classesLine = t.drop(1).mkString(" ")
+        case "DOC" => cur = (t(1).toInt, t(2).toInt, "", null)
+          steps = Vector.newBuilder; scores = Vector.newBuilder
+        case "WORDS" => cur = cur.copy(_3 = t.drop(1).mkString(" "))
+        case "INIT" => cur = cur.copy(_4 = t.drop(1).map(_.toInt))
+        case "STEP" =>
+          steps += Step(t(1).toInt, t(2).toInt, t.slice(3, t.length - 1).map(_.toDouble), t.last.toInt)
+        case "SCORE" => scores += t(2).toDouble
+        case "BEST" =>
+          docs += GDoc(cur._1, cur._2, cur._3, cur._4, steps.result(), scores.result(),
+            t.drop(1).map(_.toInt))
+        case _ => ()
+      }
+    }
+    val gdocs = docs.result()
+    assert(gdocs.nonEmpty, "probe produced no documents")
+    assert(classesLine == model.classIndex.mkString(" "), s"classIndex drift: $classesLine")
+
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0), p(1).toInt, p(2).toInt) }.toVector
+
+    import graft.core.{Crf, Gibbs, NerPriors}
+    // production samplePosition driven with a KNOWN uniform (the mirrored
+    // stream is consumed by the test so the boundary check can see u)
+    final class FixedU(u: Double) extends java.util.Random(0L) {
+      override def nextDouble(): Double = u
+    }
+    def softmax(a: Array[Double]): Array[Double] = {
+      val m = a.max; val e = a.map(x => math.exp(x - m)); val z = e.sum; e.map(_ / z)
+    }
+    val cooling = Gibbs.linearCooling(1.0, sweeps)
+    var nSteps = 0L; var maxDistDiff = 0.0; var maxDeltaDiff = 0.0
+    var boundaryEvents = 0; var e2eExact = 0; var e2eSkipped = 0
+    gdocs.foreach { d =>
+      val (conv, turnIdx, n) = meta(d.docIdx)
+      require(n == d.n)
+      val convId = conv.stripPrefix("conv").toLong
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(RefFixtures.TestSeed, convId, turnIdx)
+      val fixed = ws.map(graft.text.WordShape.fixWord)
+      assert(fixed.mkString(" ") == d.words, s"doc ${d.docIdx}: wrapper-fixed words diverge")
+      val toks = model.preprocess(ws)
+      val enc = graft.train.Trainer.encodeWith(toks, model.featureIndex, model.gazette,
+        model.useOccurrencePatterns, model.distSim.isDefined, model.useTags,
+        model.useTaggySequences, model.useReverse, model.useParenMatching,
+        model.ngramOpts, model.disjunctionWidth, model.miscOpts)
+      val p = model.params
+      val pots = Crf.logPotentials(enc, p)
+      assert(Crf.viterbi(pots, p).toSeq == d.init.toSeq, s"doc ${d.docIdx}: viterbi init diverges")
+      val scorer = new Gibbs.FactoredScorer(Seq(
+        new Gibbs.RefCliqueScorer(pots, p),
+        new NerPriors.EmpiricalNerPrior(fixed, model.classIndex.toIndexedSeq,
+          model.classIndex(model.backgroundIndex))))
+      val docSeed = seedBase * 1000003L + d.docIdx
+      val jr = new java.util.Random(docSeed)
+      val seq = d.init.clone()
+      var docBoundary = 0
+      val sweepSeqs = Vector.newBuilder[Array[Int]]
+      val ourScores = Vector.newBuilder[Double]
+      d.steps.foreach { s =>
+        val ourDist = scorer.logScoresAt(seq, s.pos)
+        val no = softmax(ourDist); val nr = softmax(s.dist)
+        var c = 0
+        while (c < no.length) {
+          val diff = math.abs(no(c) - nr(c))
+          maxDistDiff = math.max(maxDistDiff, diff)
+          if (diff >= 1e-5) {
+            val crfOnly = new Gibbs.RefCliqueScorer(pots, p).logScoresAt(seq, s.pos)
+            val priorOnly = new NerPriors.EmpiricalNerPrior(fixed, model.classIndex.toIndexedSeq,
+              model.classIndex(model.backgroundIndex)).logScoresAt(seq, s.pos)
+            info(s"DEBUG doc ${d.docIdx} it ${s.it} pos ${s.pos} words=${fixed.mkString(" ")}")
+            info(s"DEBUG seq=${seq.mkString(" ")}")
+            info(s"DEBUG ourCrf=${crfOnly.mkString(",")}")
+            info(s"DEBUG ourPrior=${priorOnly.mkString(",")}")
+            info(s"DEBUG ourRaw=${ourDist.mkString(",")}")
+            info(s"DEBUG refRaw=${s.dist.mkString(",")}")
+          }
+          assert(diff < 1e-5, s"doc ${d.docIdx} it ${s.it} pos ${s.pos} class $c: ours=${no(c)} ref=${nr(c)}")
+          c += 1
+        }
+        val t = cooling.temperature(s.it)
+        val u = jr.nextDouble() // the same draw the reference consumed
+        Gibbs.samplePosition(scorer, seq, s.pos, t, new scala.util.Random(new FixedU(u)))
+        val ourChoice = seq(s.pos)
+        if (ourChoice != s.choice) {
+          // legitimate only at a CDF boundary of the (drifting) distribution,
+          // or a near-tie argmax on the T=0 final sweep
+          val nearBoundary =
+            if (t == 0.0) { val sorted = no.sorted(Ordering[Double].reverse); sorted(0) - sorted(1) < 1e-4 }
+            else {
+              val cdf = no.scanLeft(0.0)(_ + _).drop(1)
+              cdf.exists(b => math.abs(u - b) < 1e-4)
+            }
+          assert(nearBoundary,
+            s"doc ${d.docIdx} it ${s.it} pos ${s.pos}: ours=$ourChoice ref=${s.choice} u=$u probs=${no.mkString(",")}")
+          boundaryEvents += 1; docBoundary += 1
+        }
+        seq(s.pos) = s.choice // teacher-force: stay on the reference's trajectory
+        nSteps += 1
+        if (s.pos == n - 1) { sweepSeqs += seq.clone(); ourScores += scorer.scoreOf(seq) }
+      }
+      val sseqs = sweepSeqs.result(); val oscores = ourScores.result()
+      require(sseqs.length == d.scores.length && sseqs.length == cooling.numIterations)
+      // (3) score deltas (logZ and calibration drift cancel to ~1e-5 scale)
+      for (it <- d.scores.indices) {
+        val diff = math.abs((oscores(it) - oscores(0)) - (d.scores(it) - d.scores(0)))
+        maxDeltaDiff = math.max(maxDeltaDiff, diff)
+        assert(diff < 1e-3, s"doc ${d.docIdx} it $it: our delta=${oscores(it) - oscores(0)} ref=${d.scores(it) - d.scores(0)}")
+      }
+      // (4) phase-2 best == strict-> argmax over phase-1 post-sweep iterates
+      var bestIt = 0
+      for (it <- d.scores.indices) if (d.scores(it) > d.scores(bestIt)) bestIt = it
+      assert(sseqs(bestIt).toSeq == d.best.toSeq,
+        s"doc ${d.docIdx}: reference best is not the trajectory's strict-> argmax iterate")
+      // (5) production end-to-end under the mirrored RNG
+      val margin = {
+        val rival = d.scores.indices.filter(it => sseqs(it).toSeq != sseqs(bestIt).toSeq)
+        if (rival.isEmpty) Double.PositiveInfinity
+        else d.scores(bestIt) - rival.map(d.scores).max
+      }
+      if (docBoundary == 0 && margin > 2e-3) {
+        val ourBest = Gibbs.findBestUsingAnnealing(scorer, cooling, d.init,
+          new scala.util.Random(new java.util.Random(docSeed)))
+        assert(ourBest.toSeq == d.best.toSeq, s"doc ${d.docIdx}: production annealing diverges from reference best")
+        e2eExact += 1
+      } else e2eSkipped += 1
+    }
+    info(f"gibbs sampler: ${gdocs.length} docs, $nSteps steps lockstep; max conditional |diff| = $maxDistDiff%.3g; " +
+      f"max sweep-score delta |diff| = $maxDeltaDiff%.3g; $boundaryEvents CDF-boundary events; " +
+      f"production end-to-end exact on $e2eExact docs ($e2eSkipped skipped for boundary/margin)")
+    assert(nSteps > 5000, "differential must cover a real volume of sampling steps")
+    assert(boundaryEvents <= math.max(2, nSteps / 1000), s"$boundaryEvents boundary events in $nSteps steps")
+    assert(e2eExact >= (gdocs.length * 8) / 10, s"only $e2eExact/${gdocs.length} docs end-to-end exact")
+  }
+
   test("LEMMA differential: reference trained with -useLemmas -usePrevNextLemmas on lemma-bearing column data matches our tags") {
     // The lemma families (NERFeatureFactory.java:796-811) emit ONLY when a
     // token carries a LemmaAnnotation (getString -> "" suppresses the

@@ -69,6 +69,54 @@ class GibbsSpec extends AnyFunSuite {
     }
   }
 
+  test("RefCliqueScorer matches the reference's marginal-composition sampling distribution (vs enumeration)") {
+    // The reference's classifyGibbs samples from M_pos(prev++c) * M(c++next)
+    // (CRFCliqueTree.scoresOf, with the conditional normalization commented
+    // out in FactorTable.unnormalizedConditionalLogProbGivenFirst) — NOT the
+    // true conditional: the distribution carries an extra factor of the
+    // label's own window marginal. Pin our RefCliqueScorer to the
+    // enumeration-computed composition on random CRFs, covering both window
+    // sizes, the right-edge sumOutFront reduction, and the last-position
+    // constant term.
+    for (seed <- 1 to 3; c <- Seq(2, 3); w <- Seq(2, 3)) {
+      val n = 5
+      val (p, doc) = mkRandom(seed * 17, c, w, nFeat = 12, docLen = n)
+      val pots = Crf.logPotentials(doc, p)
+      val exact = new Gibbs.CrfScorer(pots, p) // scoreOf = raw joint score
+      val ref = new Gibbs.RefCliqueScorer(pots, p)
+      val rng = new scala.util.Random(seed)
+      val seq = Array.fill(n)(rng.nextInt(c))
+      val all = (0 until math.pow(c, n).toInt).map { code =>
+        var e = code
+        val arr = new Array[Int](n)
+        var i = n - 1
+        while (i >= 0) { arr(i) = e % c; e /= c; i -= 1 }
+        (arr, exact.scoreOf(arr))
+      }
+      val mx = all.map(_._2).max
+      def mass(pred: Array[Int] => Boolean): Double =
+        all.collect { case (a, s) if pred(a) => math.exp(s - mx) }.sum
+      def softmax(v: Seq[Double]) = {
+        val m = v.max; val e = v.map(x => math.exp(x - m)); val z = e.sum; e.map(_ / z)
+      }
+      for (pos <- 0 until n) {
+        val prevIdx = (math.max(0, pos - (w - 1)) until pos).toArray
+        val nl = math.min(w - 1, n - 1 - pos)
+        val expected = (0 until c).map { lbl =>
+          val a = mass(arr => arr(pos) == lbl && prevIdx.forall(q => arr(q) == seq(q)))
+          val b =
+            if (nl == 0) 1.0
+            else mass(arr => arr(pos) == lbl && (1 to nl).forall(k => arr(pos + k) == seq(pos + k)))
+          a * b
+        }
+        val z = expected.sum
+        val gs = softmax(ref.logScoresAt(seq, pos).toSeq)
+        for (lbl <- 0 until c)
+          assert(math.abs(gs(lbl) - expected(lbl) / z) < 1e-10, s"seed=$seed c=$c w=$w pos=$pos lbl=$lbl")
+      }
+    }
+  }
+
   test("annealing recovers the exact Viterbi optimum on random CRFs") {
     var recovered = 0
     val total = 24
