@@ -234,6 +234,18 @@ object SparkEntry {
           col("height"), col("n_frames"),
           concat_ws(",", transform(col("feature"),
             f => f.cast("decimal(12,6)").cast("string"))).as("feature_digest"))),
+    // q54: multimodal METADATA under the driver's hash gate — the Spark side
+    // runs the REAL synth -> PNG/WAV/GVID encode -> decode loop (javax.imageio
+    // + RIFF/GVID container parsers), the oracle computes the generator's
+    // ground-truth formulas (fnv1a64/splitmix64) — certifying that the codec
+    // round-trip reproduces every dimension/frame/sample count bit-exactly.
+    // Codec-internal outputs (n_bytes, luminance/RMS features) remain
+    // rows-only in q36 (deflate byte counts and pixel math are not
+    // SQL-expressible).
+    "q54_multimodal_meta" -> ((s, d) =>
+      Multimodal.decode(Multimodal.withPayload(t(s, d, "documents"))).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"))),
     "q37_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
 
     // native Catalyst expressions (codegen'd): shape histogram over doc tokens
@@ -1362,6 +1374,32 @@ object SparkEntry {
          |ham AS (SELECT d1 doc_id_1, d2 doc_id_2,
          |    bit_count(xor(${toSigned("s1")}, ${toSigned("s2")})) hamming FROM cand)
          |SELECT doc_id_1, doc_id_2, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 8""".stripMargin,
+    // The multimodal generator's metadata formulas reproduced in SQL:
+    // seed = fnv1a64(text) XOR doc_id, then splitmix64 (staged unsigned
+    // arithmetic, lane `a` = the dims/sample-count seed per media branch,
+    // lane `b` = the video frame-count seed). The Spark side decodes the
+    // REAL encoded payloads, so hash-green certifies the encode->decode
+    // round trip of every dimension/frame/sample count.
+    "q54_multimodal_meta" ->
+      s"""WITH f AS (SELECT doc_id, xor(${fnvSql("text")}, doc_id::HUGEINT) seed FROM documents),
+         |inp AS (SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN seed WHEN 1 THEN xor(seed, ${0xa0d10L})
+         |      ELSE xor(seed, ${0x8000000L}) END px,
+         |    xor(seed, ${0x71de0L}) vf FROM f),
+         |z1 AS (SELECT doc_id, (px + 11400714819323198485) % $M64::HUGEINT a,
+         |    (vf + 11400714819323198485) % $M64::HUGEINT b FROM inp),
+         |z2 AS (SELECT doc_id, ${umul64("xor(a, a // 1073741824)", 0xbf58476d1ce4e5b9L)} a,
+         |    ${umul64("xor(b, b // 1073741824)", 0xbf58476d1ce4e5b9L)} b FROM z1),
+         |z3 AS (SELECT doc_id, ${umul64("xor(a, a // 134217728)", 0x94d049bb133111ebL)} a,
+         |    ${umul64("xor(b, b // 134217728)", 0x94d049bb133111ebL)} b FROM z2),
+         |hs AS (SELECT doc_id, xor(a, a // 2147483648) a, xor(b, b // 2147483648) b FROM z3)
+         |SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 8 + (a // 256) % 17 END AS INT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 8 + (a // 65536) % 13 END AS INT) AS height,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + (a // 256) % 441
+         |    ELSE 2 + abs(${toSigned("b")} % 5) END AS INT) AS n_frames
+         |FROM hs""".stripMargin,
     // Rolling base-31 fingerprint + simhash, both mod-2^64 in SQL.
     "q37_fingerprints" ->
       s"""WITH ${simhashCtes(3)},
