@@ -504,12 +504,26 @@ object Bench {
     // Evidence protection (round-4 verdict): the run's JSON ALWAYS lands in a
     // timestamped file; BENCH.json (the committed evidence of record) is only
     // replaced by a run the gate believes — a polluted driver window can no
-    // longer clobber a committed clean measurement.
+    // longer clobber a committed clean measurement. A reduced-size smoke
+    // (SPARK_GRAFT_SCALE_CONVS below the recorded run's) can't replace it
+    // either: at tiny scale per-rep fixed overheads dominate and the
+    // efficiency number is not comparable, even when every rep is clean.
     val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
       .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_run_$stamp.json"), json + "\n")
-    if (!suspect) java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
-    else System.err.println(s"[bench] suspect=true -> BENCH.json left untouched (see BENCH_run_$stamp.json)")
+    val recordTurns: Long = try {
+      val p = java.nio.file.Paths.get("BENCH.json")
+      if (java.nio.file.Files.exists(p)) {
+        val m = """"ner_turns":(\d+)""".r.findFirstMatchIn(java.nio.file.Files.readString(p))
+        m.map(_.group(1).toLong).getOrElse(0L)
+      } else 0L
+    } catch { case _: Exception => 0L }
+    if (suspect)
+      System.err.println(s"[bench] suspect=true -> BENCH.json left untouched (see BENCH_run_$stamp.json)")
+    else if (turns < recordTurns)
+      System.err.println(s"[bench] run size $turns < evidence-of-record size $recordTurns -> " +
+        s"BENCH.json left untouched (see BENCH_run_$stamp.json)")
+    else java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()
   }

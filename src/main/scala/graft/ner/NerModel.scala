@@ -66,7 +66,7 @@ final class NerModel(
     * lowercasing always (normalizeTimex is on in every 3-class preset),
     * plus Americanize under normalizeTerms.
     */
-  @inline private def fix(w: String): String =
+  @inline private[ner] def fix(w: String): String =
     if (normalizeTerms) graft.text.Americanize.fixWordNormalizeTerms(w)
     else WordShape.fixWord(w)
 

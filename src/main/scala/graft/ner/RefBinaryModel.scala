@@ -46,7 +46,7 @@ object RefBinaryModel {
       val weightsArr = r.readObject().asInstanceOf[Array[Any]]
       val knownLCObj = r.readObject()
 
-      validateFlags(flags, factory)
+      validateFlags(flags, factory, windowSize)
 
       def indexObjects(v: Any): Vector[Any] = {
         val o = v.asInstanceOf[JObj]
@@ -147,7 +147,7 @@ object RefBinaryModel {
     * field (older/newer flag versions) passes — the stream's own classdesc
     * governs what exists.
     */
-  private def validateFlags(flags: JObj, factory: JObj): Unit = {
+  private def validateFlags(flags: JObj, factory: JObj, windowSize: Int): Unit = {
     require(flags.className == "edu.stanford.nlp.sequences.SeqClassifierFlags", flags.className)
     require(factory.className == "edu.stanford.nlp.ie.NERFeatureFactory",
       s"unsupported feature factory ${factory.className} (only NERFeatureFactory templates are implemented)")
@@ -200,9 +200,40 @@ object RefBinaryModel {
     // (noMidNGrams / maxNGramLeng / lowercaseNGrams / dehyphenateNGrams /
     // greekifyNGrams / conjoinShapeNGrams are all SUPPORTED and flow into the
     // model's NgramOpts.)
-    for (v <- flags.fields.get("maxLeft")) require(v == 2, s"maxLeft $v != 2")
-    for (v <- flags.fields.get("wordShape")) require(v == 3, // dan2UseLC
-      s"wordShape $v != 3 (dan2useLC) — shape function mismatch")
+    // maxLeft 2 is the full certified surface; maxLeft 1 (windowSize-2)
+    // models load too — the reference emits a strict SUBSET of the maxLeft-2
+    // feature surface there (every flags.maxLeft read in NERFeatureFactory is
+    // gated `>= 2`/`>= 3` or `> 0`), so our emitter's extra strings hash-miss
+    // the dictionary and drop, the standard unseen-feature rule. Pinned by
+    // RefLatticeSpec's maxLeft-1 tag + lattice differentials.
+    for (v <- flags.fields.get("maxLeft")) {
+      require(v == 1 || v == 2, s"maxLeft $v not in {1, 2}")
+      require(v == windowSize - 1, s"maxLeft $v inconsistent with windowSize $windowSize")
+    }
+    // 3 = dan2UseLC (the implemented shaper); -1 = NOWORDSHAPE loads too,
+    // but ONLY when no shape string can be in the dictionary: the main shape
+    // families are gated on `wordShape > NOWORDSHAPE || useShapeStrings`
+    // (NERFeatureFactory.java:1234,1394), but seven families read the shape
+    // annotation gated ONLY by their own flag — with shapes off those emit
+    // "null"/"" strings that ARE dictionary entries, which our dan2-based
+    // emissions would hash-miss and silently drop. So -1 requires that whole
+    // closure off (NERFeatureFactory.java:1123 useShapeConjunctions, :1297
+    // and :1444 useDisjShape, :1321 useMUCFeatures, :1361 conjoinShapeNGrams,
+    // :1428-1432 useDisjunctiveShapeInteraction, :1577,:1639
+    // useTypeySequences, :1816+ useTaggySequencesShapeInteraction). Any OTHER
+    // shaper would have put differently-shaped strings in the dictionary.
+    for (v <- flags.fields.get("wordShape")) {
+      require(v == 3 || v == -1,
+        s"wordShape $v not in {3 (dan2useLC), -1 (off)} — shape function mismatch")
+      if (v == -1) {
+        val shapeReaders = Seq("useShapeStrings", "useTypeySequences", "useDisjShape",
+          "useDisjunctiveShapeInteraction", "conjoinShapeNGrams",
+          "useTaggySequencesShapeInteraction", "useMUCFeatures", "useShapeConjunctions")
+        for (f <- shapeReaders; b <- flags.fields.get(f)) require(b != true,
+          s"wordShape off but -$f reads the shape annotation ungated — its 'null'-shape " +
+            "dictionary features would be silently dropped by this engine's dan2 emissions")
+      }
+    }
     // disjunctionWidth / wideDisjunctionWidth / useWideDisjunctive /
     // useDisjShape / useDisjunctiveShapeInteraction are all supported and
     // flow into the model (round 4)

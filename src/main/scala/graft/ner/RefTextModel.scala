@@ -87,6 +87,8 @@ object RefTextModel {
       line = r.readLine()
       val windowSize = line.replace("<windowSize>", "").replace("</windowSize>", "").trim.toInt
       require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
+      require(fl.maxLeft == windowSize - 1,
+        s"maxLeft ${fl.maxLeft} inconsistent with windowSize $windowSize")
       val wCount = intAfterTab(r.readLine())
       require(wCount == numFeatures, s"weights rows $wCount != features $numFeatures")
       val weights = new Array[Array[Double]](numFeatures)
@@ -333,7 +335,8 @@ private[ner] object RefTextFlags {
         case "conjoinshapengrams" => f.conjoinShapeNGrams = b(value)
         case _ if miscKeys(k) => f.bool(k) = b(value)
         case _ if mustBeFalseLower.contains(k) => f.bool(k) = b(value)
-        case _ if familyKeys(k) || neutralKeys(k) => () // accepted, untracked
+        case _ if familyKeys(k) => f.bool(k) = b(value) // encoding-neutral under wordShape 3, but validate() reads usetypeysequences for the wordShape -1 closure
+        case _ if neutralKeys(k) => () // accepted, untracked
         case _ => throw new IllegalArgumentException(
           s"text model flag '$key=$value' is not modeled by this loader — " +
             "refusing to load (an unmodeled flag could silently change featurization)")
@@ -344,9 +347,29 @@ private[ner] object RefTextFlags {
 
   def validate(f: Effective, gazette: Gazette): Unit = {
     // value-changing checks, mirroring RefBinaryModel.validateFlags
-    require(f.maxLeft == 2, s"maxLeft ${f.maxLeft} != 2")
-    require(f.wordShape == 3,
-      s"wordShape ${f.wordShape} != 3 (dan2useLC) — shape function mismatch")
+    // maxLeft 1 (windowSize-2) models load too: the reference's feature
+    // surface there is a strict subset of the maxLeft-2 surface (every
+    // flags.maxLeft read in NERFeatureFactory is gated >= 2/>= 3 or > 0), so
+    // our extra emissions hash-miss and drop. Cross-checked against the
+    // file's <windowSize> after it is read (load()).
+    require(f.maxLeft == 1 || f.maxLeft == 2, s"maxLeft ${f.maxLeft} not in {1, 2}")
+    // -1 (NOWORDSHAPE) loads only when the shape-reading closure is off
+    // (same rule + citations as RefBinaryModel.validateFlags: seven families
+    // read the shape annotation ungated by wordShape and would put "null"-
+    // shape strings in the dictionary that our dan2 emissions hash-miss).
+    // useShapeStrings is an unknown key here, so it rejects at parse already.
+    require(f.wordShape == 3 || f.wordShape == -1,
+      s"wordShape ${f.wordShape} not in {3 (dan2useLC), -1 (off)} — shape function mismatch")
+    if (f.wordShape == -1) {
+      val shapeReaders = Seq("usetypeysequences", "usedisjshape",
+        "usedisjunctiveshapeinteraction", "usetaggysequencesshapeinteraction",
+        "usemucfeatures", "useshapeconjunctions")
+      for (k <- shapeReaders) require(!f.bool(k),
+        s"wordShape off but -$k reads the shape annotation ungated — its 'null'-shape " +
+          "dictionary features would be silently dropped by this engine's dan2 emissions")
+      require(!f.conjoinShapeNGrams,
+        "wordShape off but -conjoinShapeNGrams reads the shape annotation ungated")
+    }
     // this engine's preprocessing bakes the timex word fix in (every 3-class
     // preset sets normalizeTimex; ObjectBankWrapper.java:118 applies the fix
     // under normalizeTerms || normalizeTimex) — a model trained with BOTH off
