@@ -527,4 +527,152 @@ object Crf {
     }
     enc
   }
+
+  /** Reference-faithful calibrated clique tree — what `-printProbs` /
+    * `-printFirstOrderProbs` ACTUALLY print, replicated op-for-op
+    * (CRFCliqueTree.getCalibratedCliqueTree, CRFCliqueTree.java:471-497;
+    * FactorTable sum-out/multiply-in/divide, FactorTable.java:324-443;
+    * SloppyMath.logAdd with LOGTOLERANCE=30, SloppyMath.java:196,248-264;
+    * ArrayMath.logSum first-max index-order accumulation, ArrayMath.java:
+    * 819-847).
+    *
+    * THE QUIRK this class preserves — and the exact `Marginals` does not:
+    * `getFactorTable` iterates the GLOBAL `labelIndices` at every position
+    * (CRFCliqueTree.java:505-520), so the tables at positions 0..windowSize-2
+    * carry finite entries for label windows whose PAD coordinates are
+    * non-background — labelings no real sequence can have (decode clamps pads
+    * to the background tag, CRFClassifier.TestSequenceModel.getPossibleValues,
+    * CRFClassifier.java:613-618). This PHANTOM PAD MASS flows into the forward
+    * messages and into z, so the reference's printed marginals are NOT the
+    * model's true marginals. The contamination factors through the forward
+    * message only, hence is CONSTANT along each table row (fixed front
+    * coordinates): every row-normalized query — Gibbs sampling conditionals,
+    * the search-graph lattice's condLogProbGivenPrevious — cancels it exactly
+    * (which is why those differentials match the exact engine to ~1e-13),
+    * while cross-row queries (unary/pairwise marginals, z) are off by the
+    * phantom-mass fraction (observed ~2.6e-6 absolute on real-model
+    * probabilities; up to ~15 nats on deep-tail TABLE entries). Use
+    * `Marginals` for true probabilities; use this class only for parity with
+    * the reference's printed output.
+    */
+  object RefCliqueTree {
+    private final val LogTolerance = 30.0
+
+    /** SloppyMath.logAdd — note `log(1.0 + x)`, NOT log1p (bit-parity). */
+    private def logAdd(lx: Double, ly: Double): Double = {
+      var max = 0.0; var negDiff = 0.0
+      if (lx > ly) { max = lx; negDiff = ly - lx } else { max = ly; negDiff = lx - ly }
+      if (max == Double.NegativeInfinity) max
+      else if (negDiff < -LogTolerance) max
+      else max + math.log(1.0 + math.exp(negDiff))
+    }
+
+    /** ArrayMath.logSum over strided masses: first-max, index-order sum of
+      * exp(x-max) for terms above max-30 skipping the max itself.
+      */
+    private def logSumStrided(t: Array[Double], start: Int, stride: Int, count: Int): Double = {
+      var maxIdx = 0
+      var max = t(start)
+      var i = 1
+      while (i < count) {
+        val v = t(start + i * stride)
+        if (v > max) { maxIdx = i; max = v }
+        i += 1
+      }
+      var haveTerms = false
+      var intermediate = 0.0
+      val cutoff = max - LogTolerance
+      i = 0
+      while (i < count) {
+        val v = t(start + i * stride)
+        if (i != maxIdx && v > cutoff) { haveTerms = true; intermediate += math.exp(v - max) }
+        i += 1
+      }
+      if (haveTerms) max + math.log(1.0 + intermediate) else max
+    }
+
+    final class Tables(tables: Array[Array[Double]], p: Params) {
+      private val C = p.numClasses
+      private val W = p.windowSize
+      /** z = totalMass(factorTables[0]) (CRFCliqueTree.java:39). */
+      val z: Double = logSumStrided(tables(0), 0, 1, tables(0).length)
+
+      def length: Int = tables.length
+
+      /** FactorTable.unnormalizedLogProbEnd over the indicesEnd stride
+        * (FactorTable.java:137-151,307-339): labels are the NEWEST
+        * `labels.length` window slots.
+        */
+      def unnormalizedLogProbEnd(pos: Int, labels: Array[Int]): Double = {
+        var idx = 0
+        var i = 0
+        while (i < labels.length) { idx = idx * C + labels(i); i += 1 }
+        val offset = pow(C, labels.length)
+        logSumStrided(tables(pos), idx, offset, tables(pos).length / offset)
+      }
+
+      /** CRFCliqueTree.prob/logProb (CRFCliqueTree.java:62-84,220-236). */
+      def logProb(pos: Int, labels: Array[Int]): Double =
+        if (labels.length < W) unnormalizedLogProbEnd(pos, labels) - z
+        else {
+          var idx = 0
+          var i = 0
+          while (i < W) { idx = idx * C + labels(i); i += 1 }
+          tables(pos)(idx) - z
+        }
+      def prob(pos: Int, labels: Array[Int]): Double = math.exp(logProb(pos, labels))
+      def prob(pos: Int, label: Int): Double = math.exp(logProb(pos, Array(label)))
+    }
+
+    /** getCalibratedCliqueTree on the engine's per-position potential tables
+      * (which equal the reference's uncalibrated factor tables — feature
+      * multisets pinned by RefFeatureDumpSpec, phantom pad entries included).
+      */
+    def calibrate(potentials: Array[Array[Double]], p: Params): Tables = {
+      val C = p.numClasses
+      val W = p.windowSize
+      val full = pow(C, W)
+      val sep = pow(C, W - 1)
+      val n = potentials.length
+      val tables = Array.tabulate(n)(i => potentials(i).clone())
+      val msgs = new Array[Array[Double]](math.max(0, n - 1))
+      // FactorTable.sumOutFront: logIncrementValue(x % C^{W-1}) in x order
+      def sumOutFront(t: Array[Double]): Array[Double] = {
+        val r = Array.fill(sep)(Double.NegativeInfinity)
+        var x = 0
+        while (x < full) { val j = x % sep; r(j) = logAdd(r(j), t(x)); x += 1 }
+        r
+      }
+      // FactorTable.sumOutEnd: logIncrementValue(x / C) in x order
+      def sumOutEnd(t: Array[Double]): Array[Double] = {
+        val r = Array.fill(sep)(Double.NegativeInfinity)
+        var x = 0
+        while (x < full) { val j = x / C; r(j) = logAdd(r(j), t(x)); x += 1 }
+        r
+      }
+      var i = 1
+      while (i < n) {
+        msgs(i - 1) = sumOutFront(tables(i - 1))
+        val t = tables(i); val m = msgs(i - 1)
+        var x = 0
+        while (x < full) { t(x) += m(x / C); x += 1 } // multiplyInFront, divisor C^{W-(W-1)}
+        i += 1
+      }
+      i = n - 2
+      while (i >= 0) {
+        val so = sumOutEnd(tables(i + 1))
+        val m = msgs(i)
+        var x = 0
+        while (x < sep) { // divideBy incl. the both--inf guard (FactorTable.java:436-443)
+          if (so(x) != Double.NegativeInfinity || m(x) != Double.NegativeInfinity) so(x) -= m(x)
+          x += 1
+        }
+        val t = tables(i)
+        x = 0
+        while (x < full) { t(x) += so(x % sep); x += 1 } // multiplyInEnd, modulus C^{W-1}
+        i -= 1
+      }
+      new Tables(tables, p)
+    }
+  }
 }

@@ -77,6 +77,15 @@ object Gibbs {
     * LOG space, label-independent so it cancels in the softmax).
     * `CrfScorer` is the exact-conditional alternative (enumeration-pinned by
     * GibbsSpec); this class exists for sampling-trajectory parity.
+    *
+    * Why OUR exact tables (`Crf.forwardBackward`) are bit-faithful here even
+    * though the reference's calibrated tables carry phantom pad mass (global
+    * labelIndices give pad positions finite non-background entries — see
+    * Crf.RefCliqueTree): the contamination rides the forward message only,
+    * so it is CONSTANT along each table row, and this scorer's softmax over
+    * the current label (fixed front coordinates) cancels it exactly — the
+    * seeded-RNG sampler differential's 9.8e-14 agreement is that
+    * cancellation observed.
     */
   final class RefCliqueScorer(potentials: Array[Array[Double]], p: Crf.Params)
       extends SequenceScorer {

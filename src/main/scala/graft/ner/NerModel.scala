@@ -233,6 +233,17 @@ final class NerModel(
       Crf.forwardBackward(Crf.logPotentials(encodeFast(words), params), params), params)
   }
 
+  /** Reference-faithful clique tree: reproduces what `-printProbs` /
+    * `-printFirstOrderProbs` print, INCLUDING the phantom-pad-mass quirk
+    * (global labelIndices give the pad positions finite non-background
+    * entries; see Crf.RefCliqueTree). `cliqueTree` is the exact surface —
+    * use this one only for parity with the reference's printed marginals.
+    */
+  def cliqueTreeRef(words: IndexedSeq[String]): Crf.RefCliqueTree.Tables = {
+    require(!useReverse, "cliqueTree positions are undefined under useReverse")
+    Crf.RefCliqueTree.calibrate(Crf.logPotentials(encodeFast(words), params), params)
+  }
+
   /** Beam-limited decode (BeamBestSequenceFinder surface; reference default
     * beamSize = 30, SeqClassifierFlags.java:141). Faster than exact Viterbi
     * when numStates is large; exact in the beamSize -> inf limit.
