@@ -351,6 +351,35 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // q55: the -searchGraphPrefix lattice surface (rows-only). A
+    // windowSize-2 variant of the hash CRF (the reference's own
+    // ViterbiSearchGraphBuilder crashes on every windowSize-3 model —
+    // SearchGraph's pinned domain) emits each >=2-token document's AT&T FSM
+    // lattice through the REAL path (encodeFast -> forwardBackward ->
+    // condLogProbGivenPrevious -> DFSA BFS print). Lattice scores are
+    // log-sum-exp values: transcendental libm output is not bit-replicable
+    // in DuckDB (unlike q41/q47's max-sum arithmetic), so no SQL oracle —
+    // the STRONG certificate is RefLatticeSpec's differential against the
+    // reference's own .lattice files (structure byte-exact, scores within
+    // 4.8e-14 over 107k lines).
+    "q55_search_graph" -> ((s, d) => {
+      import s.implicits._
+      val docs = tokDocs(s, d)
+      val words = docs.flatMap(_._2).distinct().collect().sorted
+      val shapes = words.map(w => graft.text.WordShape.dan2NoLC(w)).distinct.sorted
+      val pairs = docs.flatMap { case (_, tk) =>
+        tk.indices.iterator.map { i =>
+          val p = if (i == 0) "" else graft.text.WordShape.dan2NoLC(tk(i - 1))
+          (p, graft.text.WordShape.dan2NoLC(tk(i)))
+        }
+      }.distinct().collect().sorted
+      val bc = s.sparkContext.broadcast(hashCrfModel(words, shapes, pairs, windowSize = 2))
+      docs.filter(_._2.length >= 2).flatMap { case (id, tk) =>
+        graft.ner.SearchGraph.attLattice(bc.value, tk.toIndexedSeq)
+          .iterator.zipWithIndex.map { case (line, ln) => (id, ln, line) }
+      }.toDF("doc_id", "ln", "line").orderBy("doc_id", "ln")
+    }),
+
     // q48: LEARNED-weight CRF inference under the driver's hash gate — the
     // q41 machinery with TRAINED weights instead of hash-derived ones.
     // TrainedCrf is a real L-BFGS fit (full Trainer path: distributed
@@ -594,7 +623,7 @@ object SparkEntry {
     * reference's own unseen-feature rule (CRFClassifier.java:200-207).
     */
   private def hashCrfModel(words: Array[String], shapes: Array[String],
-      pairs: Array[(String, String)]): graft.ner.NerModel = {
+      pairs: Array[(String, String)], windowSize: Int = 3): graft.ner.NerModel = {
     val g0 = words.map(w => graft.text.WordShape.fixWord(w) + "-WORD|C") ++
       shapes.map(_ + "-TYPE|C")
     val g1 = Array("PSEQ|CpC") ++ pairs.map { case (p, c) => s"$p-$c-TYPES|CpC" }
@@ -609,7 +638,7 @@ object SparkEntry {
     }
     // real label names so TripleRules triggers apply downstream (q43)
     new graft.ner.NerModel(Array("O", "LOCATION", "PERSON"), 0, featureIndex,
-      graft.train.WeightLayout.fullProduct(3, 3, 0, featGroup), weights, Set.empty)
+      graft.train.WeightLayout.fullProduct(3, windowSize, 0, featGroup), weights, Set.empty)
   }
 
   // ---- DuckDB oracles ----
