@@ -167,6 +167,40 @@ final class NerModel(
     out
   }
 
+  /** Encode with the reference's DATA-ARRAY ordering: getCliqueFeatures
+    * collects each clique's features into a `java.util.HashSet<String>`
+    * (NERFeatureFactory.java:412), so the id arrays CRFClassifier trains on
+    * follow HashSet iteration order and are DEDUPLICATED — emission order is
+    * lost. Training objectives sum weights in data order, so a bit-exact
+    * objective mirror (FloatObjective / RefFloatObjectiveSpec) needs this
+    * exact order; inference is order-insensitive, so `encode`/`encodeFast`
+    * keep the cheaper emission order.
+    */
+  def encodeRefOrder(words: IndexedSeq[String]): Crf.EncodedDoc = {
+    val toks = preprocess(words)
+    val n = toks.length
+    val out = new Array[Array[Array[Int]]](n)
+    var pos = 0
+    while (pos < n) {
+      val byGroup = NerFeatures.featuresAt(toks, pos, gazette, useOccurrencePatterns,
+        distSim.isDefined, useTags, useTaggySequences, useReverse, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
+      out(pos) = byGroup.map { feats =>
+        val set = new java.util.HashSet[String]()
+        var k = 0
+        while (k < feats.length) { set.add(feats(k)); k += 1 }
+        val ids = new mutable.ArrayBuilder.ofInt
+        val it = set.iterator()
+        while (it.hasNext) {
+          val id = featureIndex.get(it.next())
+          if (id != null) ids += id.intValue
+        }
+        ids.result()
+      }
+      pos += 1
+    }
+    out
+  }
+
   /** Viterbi-tag a POS-tagged document (column data `word=0,tag=1,answer=2`,
     * ColumnDocumentReaderAndWriter semantics): tags feed the useTags /
     * useTaggySequences templates.

@@ -135,6 +135,14 @@ object Trainer {
       // deterministic sample scaled to the corpus, plus the prior; decaying
       // gain. Same objective, different optimizer — not a parity surface.
       optimizer: String = "qn", // "qn" | "sgd" | "scaledsgd" (diag-BFGS per-coordinate gains) | "sgdtoqn" (sgdEpochs stochastic passes, then L-BFGS from that point)
+      // useFloat (CRFClassifier.java:987-1020): train against the reference's
+      // SINGLE-PRECISION objective (FloatObjective — bit-level mirror pinned
+      // by RefFloatObjectiveSpec), the reference's memory lever for large
+      // feature spaces. QN only, like the reference's dispatch. Distributed
+      // per-partition float accumulation (partial sums reassociate across
+      // partitions — training-only; the bit-exact surface is the
+      // sequential FloatObjective.valueAndGrad).
+      useFloat: Boolean = false,
       sgdEpochs: Int = 60,
       sgdBatchFraction: Double = 0.25,
       sgdGain: Double = 0.5)
@@ -610,7 +618,49 @@ object Trainer {
         }
         x
       }
+      // -useFloat: the reference's float-objective branch (QN only,
+      // CRFClassifier.java:987-1020). Weights live in double for Breeze but
+      // are truncated to float for every evaluation, so the optimized
+      // function IS the single-precision objective; the trained weights are
+      // widened at the end exactly like ArrayMath.floatArrayToDoubleArray.
+      val floatDiff = if (!cfg.useFloat) null else new DiffFunction[DenseVector[Double]] {
+        def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+          val xf = new Array[Float](n)
+          var i = 0
+          while (i < n) { xf(i) = x.data(i).toFloat; i += 1 }
+          val bw = sc.broadcast(xf)
+          val layoutRef = bLayout
+          val partials = encoded.rdd.mapPartitions { it =>
+            val lay = layoutRef.value
+            val cols = FloatObjective.colWindows(lay)
+            val e = new Array[Float](lay.totalSize)
+            val ehat = new Array[Float](lay.totalSize)
+            val acc = new FloatObjective.FloatAcc
+            it.foreach { case (doc, lab) =>
+              FloatObjective.ehatDoc(doc, lab, lay, ehat)
+              FloatObjective.docContrib(doc, bw.value, lay, cols, lab, e, acc)
+            }
+            Iterator.single((acc.v, e, ehat))
+          }
+          val (prob, e, ehat) = partials.treeReduce(
+            { case ((p1, e1, h1), (p2, e2, h2)) =>
+              var i = 0
+              while (i < e1.length) { e1(i) += e2(i); h1(i) += h2(i); i += 1 }
+              (p1 + p2, e1, h1)
+            },
+            depth = 2)
+          bw.destroy()
+          val (v, g) = FloatObjective.finish(prob, e, ehat, xf, cfg.sigma.toFloat)
+          (v.toDouble, DenseVector(g.map(_.toDouble)))
+        }
+      }
+      if (cfg.useFloat) require(cfg.optimizer == "qn",
+        "useFloat is a QN-only branch in the reference (CRFClassifier.java:987)")
       val xStar = cfg.optimizer match {
+        case "qn" if cfg.useFloat =>
+          // widen like ArrayMath.floatArrayToDoubleArray after minimize
+          val sol = lbfgs.minimize(floatDiff, DenseVector.zeros[Double](n))
+          DenseVector(sol.data.map(d => d.toFloat.toDouble))
         case "qn" => lbfgs.minimize(diff, DenseVector.zeros[Double](n))
         case "sgd" => DenseVector(runSgd(cfg.sgdEpochs))
         case "scaledsgd" => DenseVector(runScaledSgd(cfg.sgdEpochs))
