@@ -31,7 +31,14 @@ object NerFeatures {
     * per distSimAnnotate) or null when distsim is off / the token is a pad.
     */
   final case class Tok(word: String, shape: String, ds: String = null, tag: String = null,
-      lemma: String = null, chunk: String = null)
+      lemma: String = null, chunk: String = null, unknown: String = null,
+      // useGenericFeatures: the PRE-JOINED "<value>-<key>" string for the
+      // model's single effective generic column (CoreLabel.initFromStrings
+      // collapses every generic map key onto ONE anonymous annotation class,
+      // CoreLabel.java:128-136 — so at most one generic feature survives per
+      // token, see MiscOpts.useGenericFeatures); null when the family is off
+      // or the input carries no generic column
+      generic: String = null)
   val Pad: Tok = Tok("", null)
 
   // POS-tag accessor, getString semantics (pad/absent -> "")
@@ -43,6 +50,8 @@ object NerFeatures {
   @inline private def lemGS(t: Tok): String = if (t.lemma == null) "" else t.lemma
   // chunk accessor, `get`/concat semantics (pad/absent -> the literal "null")
   @inline private def chunkGet(t: Tok): String = if (t.chunk == null) "null" else t.chunk
+  // UnknownAnnotation accessor, `get`/concat semantics (pad/absent -> "null")
+  @inline private def unkGet(t: Tok): String = if (t.unknown == null) "null" else t.unknown
 
   // distsim accessors mirroring the reference's get vs getString semantics
   @inline private def dsGet(t: Tok): String = if (t.ds == null) "null" else t.ds
@@ -225,6 +234,14 @@ object NerFeatures {
       // chunk-null templates exactly like the reference; chunk values flow
       // from column data (map ...,chunk=N / CoNLL 4-column)
       useChunks: Boolean = false, useChunkySequences: Boolean = false,
+      // useUnknown (NERFeatureFactory.java:790-794): seen-once/known word
+      // flags ("true"/"false") produced by the TRUE-CASING reader
+      // (TrueCasingDocumentReaderAndWriter.java:159 at read,
+      // AbstractSequenceClassifier.classifyWithCasing:256 at classify); raw
+      // `get` semantics — absent annotations read as the literal "null", so
+      // plain column data emits constant null-UNKNOWN templates exactly
+      // like the reference
+      useUnknown: Boolean = false,
       // abbr features (NERFeatureFactory.java:1048-1061,1078-1080 C,
       // :1531-1533 CpC, :1789-1791 CpCp2C): NOTHING in this source drop ever
       // sets AbbrAnnotation (no reader, no annotator, and AnnotationLookup
@@ -256,7 +273,19 @@ object NerFeatures {
       // model trained with it
       useClassFeature: Boolean = false,
       // useMoreAbbr (:1655-1657): Cp2C abbr constant, same no-producer rule
-      useMoreAbbr: Boolean = false)
+      useMoreAbbr: Boolean = false,
+      // useGenericFeatures (NERFeatureFactory.java:1466-1476): one C-clique
+      // feature `<value>-<key>` per cached generic annotation class. The
+      // producer is the column reader: any map key UNKNOWN to
+      // AnnotationLookup becomes a generic annotation
+      // (CoreLabel.initFromStrings:124-136) — but every such key instantiates
+      // the SAME anonymous class, so all generic columns collapse onto one
+      // annotation: the token's value is the LAST generic column's value and
+      // the registered name is the LAST generic key. Net effect: at most ONE
+      // feature per token, `<lastGenericValue>-<lastGenericKey>` — mirrored
+      // exactly (the pre-join happens at tag/train time where the model's
+      // generic key name is known; the emission here just suffixes).
+      useGenericFeatures: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -361,6 +390,11 @@ object NerFeatures {
     // trained with -useWord false simply hash-miss these, the usual
     // unseen-feature rule)
     g0.add(cWord + "-WORD|C")                                 // useWord (:786-788)
+    if (misc.useUnknown) {                                     // useUnknown (:790-794)
+      g0.add(unkGet(c) + "-UNKNOWN|C")
+      g0.add(unkGet(p) + "-PUNKNOWN|C")
+      g0.add(unkGet(nt) + "-NUNKNOWN|C")
+    }
     if (misc.useLemmas) {                                      // useLemmas (:796-801)
       val lem = lemGS(c)
       if (lem != "") g0.add(lem + "-LEM|C")
@@ -422,6 +456,8 @@ object NerFeatures {
       g0.add("null-" + shapeGet(c) + "-WORD_POSITION_SHAPE|C")
     }
     if (misc.useClassFeature) g0.add("###|C")                  // (:1166-1168)
+    if (misc.useGenericFeatures && c.generic != null)          // (:1466-1476)
+      g0.add(c.generic + "|C") // pre-joined "<value>-<key>", see Tok.generic
     if (useDistSim)                                            // useDistSim (:771)
       g0.add(dsGet(c) + "-DISTSIM|C")
     if (useTags)                                               // useTags (:943)

@@ -46,6 +46,9 @@ object NerFeaturesFast {
   // chunk via `get`/concat semantics: absent -> the literal "null"
   @inline private def hChunkGet(acc: Long, t: Tok): Long =
     if (t.chunk == null) h(acc, "null") else h(acc, t.chunk)
+  // UnknownAnnotation via `get`/concat semantics: absent -> the literal "null"
+  @inline private def hUnkGet(acc: Long, t: Tok): Long =
+    if (t.unknown == null) h(acc, "null") else h(acc, t.unknown)
 
   /** Open-address long->int map (power-of-two capacity, linear probing).
     * Empty slots marked by value == -1; key 0 is permitted.
@@ -243,6 +246,11 @@ object NerFeaturesFast {
       }
     }
     emit(h(h(h(FnvOffset, cWord), "-WORD"), suffixC)) // useWord (default true)
+    if (misc.useUnknown) {                                  // useUnknown (:790-794)
+      emit(h(h(hUnkGet(FnvOffset, c), "-UNKNOWN"), suffixC))
+      emit(h(h(hUnkGet(FnvOffset, p), "-PUNKNOWN"), suffixC))
+      emit(h(h(hUnkGet(FnvOffset, nt), "-NUNKNOWN"), suffixC))
+    }
     if (misc.useLemmas && c.lemma != null && c.lemma != "") // useLemmas (:796-801)
       emit(h(h(h(FnvOffset, c.lemma), "-LEM"), suffixC))
     if (misc.usePrevNextLemmas) {                           // usePrevNextLemmas (:802-811)
@@ -294,6 +302,8 @@ object NerFeaturesFast {
       emit(h(h(hShapeGet(h(FnvOffset, "null-"), c), "-WORD_POSITION_SHAPE"), suffixC))
     }
     if (misc.useClassFeature) emit(hConstC("###|C"))
+    if (misc.useGenericFeatures && c.generic != null) // (:1466-1476) pre-joined "<value>-<key>"
+      emit(h(h(FnvOffset, c.generic), suffixC))
     if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
     if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
     emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))

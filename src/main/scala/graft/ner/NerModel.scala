@@ -59,7 +59,13 @@ final class NerModel(
     val disjunctionWidth: Int = 4,
     // small self-contained families: useTitle / usePosition / useBeginSent /
     // useSymWordPairs / useFirstWord / useOrdinal
-    val miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default
+    val miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default,
+    // useGenericFeatures: the model's single EFFECTIVE generic column name.
+    // The reference's CoreLabel.initFromStrings collapses every generic map
+    // key onto one anonymous annotation class (CoreLabel.java:128-136), so a
+    // model trained with N generic columns effectively reads only the LAST
+    // one — loaders reduce the map accordingly and store that one key here.
+    val genericKey: Option[String] = None
 ) extends Serializable {
 
   /** The word-`fix` preprocessing step (ObjectBankWrapper.fix): timex
@@ -207,23 +213,34 @@ final class NerModel(
     */
   def tag(words: IndexedSeq[String], tags: IndexedSeq[String],
       lemmas: IndexedSeq[String] = IndexedSeq.empty,
-      chunks: IndexedSeq[String] = IndexedSeq.empty): Array[String] = {
+      chunks: IndexedSeq[String] = IndexedSeq.empty,
+      unknowns: IndexedSeq[String] = IndexedSeq.empty,
+      generics: IndexedSeq[String] = IndexedSeq.empty): Array[String] = {
     require(words.length == tags.length, s"${words.length} words vs ${tags.length} tags")
     require(lemmas.isEmpty || lemmas.length == words.length,
       s"${words.length} words vs ${lemmas.length} lemmas")
     require(chunks.isEmpty || chunks.length == words.length,
       s"${words.length} words vs ${chunks.length} chunks")
+    require(unknowns.isEmpty || unknowns.length == words.length,
+      s"${words.length} words vs ${unknowns.length} unknowns")
+    require(generics.isEmpty || (generics.length == words.length && genericKey.isDefined),
+      s"${words.length} words vs ${generics.length} generics (genericKey=$genericKey)")
     if (words.isEmpty) return Array.empty
     val (inW, inT) = if (useReverse) (words.reverse, tags.reverse) else (words, tags)
     val inL = if (useReverse) lemmas.reverse else lemmas
     val inC = if (useReverse) chunks.reverse else chunks
+    val inU = if (useReverse) unknowns.reverse else unknowns
+    val inG = if (useReverse) generics.reverse else generics
+    val gKey = genericKey.orNull
     val toks = inW.indices.map { i =>
       val w = inW(i)
       val fixed = fix(w)
       NerFeatures.Tok(fixed, WordShape.dan2(w, knownLC.contains),
         distSim.map(_.clusterOf(fixed)).orNull, inT(i),
         if (inL.isEmpty) null else inL(i),
-        if (inC.isEmpty) null else inC(i))
+        if (inC.isEmpty) null else inC(i),
+        if (inU.isEmpty) null else inU(i),
+        if (inG.isEmpty) null else inG(i) + "-" + gKey)
     }
     val s = scratch.get()
     val enc: Crf.EncodedDoc = Array.tabulate(toks.length)(pos =>
@@ -452,9 +469,10 @@ object NerModel {
         w.write(s"ngram\t${ng.maxLen}\t${ng.noMid}\t${ng.lowercase}\t${ng.dehyphenate}\t${ng.greekify}\t${ng.conjoinShapes}\n")
       }
       if (m.disjunctionWidth != 4) w.write(s"opt\tdisjunctionWidth\t${m.disjunctionWidth}\n")
+      m.genericKey.foreach(k => w.write(s"opt\tgenericKey\t$k\n"))
       if (m.miscOpts != NerFeatures.MiscOpts.default) {
         val mo = m.miscOpts
-        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\t${mo.useChunks}\t${mo.useChunkySequences}\t${mo.useAbbr}\t${mo.useMinimalAbbr}\t${mo.useABGENE}\t${mo.useABSTR}\t${mo.useABSTRFreq}\t${mo.useABSTRFreqDict}\t${mo.useGENIA}\t${mo.useWEB}\t${mo.useWEBFreqDict}\t${mo.useIsURL}\t${mo.useEntityRule}\t${mo.useEntityTypes}\t${mo.useIsDateRange}\t${mo.useFREQ}\t${mo.useEntityTypeSequences}\t${mo.useURLSequences}\t${mo.useMUCFeatures}\t${mo.useClassFeature}\t${mo.useMoreAbbr}\n")
+        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\t${mo.useChunks}\t${mo.useChunkySequences}\t${mo.useUnknown}\t${mo.useAbbr}\t${mo.useMinimalAbbr}\t${mo.useABGENE}\t${mo.useABSTR}\t${mo.useABSTRFreq}\t${mo.useABSTRFreqDict}\t${mo.useGENIA}\t${mo.useWEB}\t${mo.useWEBFreqDict}\t${mo.useIsURL}\t${mo.useEntityRule}\t${mo.useEntityTypes}\t${mo.useIsDateRange}\t${mo.useFREQ}\t${mo.useEntityTypeSequences}\t${mo.useURLSequences}\t${mo.useMUCFeatures}\t${mo.useClassFeature}\t${mo.useMoreAbbr}\t${mo.useGenericFeatures}\n")
       }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
@@ -509,6 +527,7 @@ object NerModel {
       var paren = false
       var ngram = NerFeatures.NgramOpts.default
       var disjWidth = 4
+      var genKey: Option[String] = None
       var misc = NerFeatures.MiscOpts.default
       var line = r.readLine()
       while (line != null) {
@@ -521,6 +540,8 @@ object NerModel {
         else if (line == "opt\tuseParenMatching\ttrue") paren = true
         else if (line.startsWith("opt\tdisjunctionWidth\t"))
           disjWidth = line.split("\t")(2).toInt
+        else if (line.startsWith("opt\tgenericKey\t"))
+          genKey = Some(line.split("\t")(2))
         else if (line.startsWith("misc\t")) {
           val p = line.split("\t")
           def b(i: Int) = p.length > i && p(i).toBoolean
@@ -528,7 +549,7 @@ object NerModel {
             b(11), b(12), b(13), b(14), b(15), b(16), b(17), b(18), b(19),
             b(20), if (p.length > 21) p(21).toInt else 10, b(22), b(23), b(24), b(25), b(26), b(27), b(28), b(29),
             b(30), b(31), b(32), b(33), b(34), b(35), b(36), b(37), b(38), b(39),
-            b(40), b(41), b(42), b(43), b(44), b(45), b(46))
+            b(40), b(41), b(42), b(43), b(44), b(45), b(46), b(47), b(48))
         }
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")
@@ -549,7 +570,7 @@ object NerModel {
       val layout = new WeightLayout(numClasses, windowSize, backgroundIndex, featGroup, weightCol, numCols)
       new NerModel(classIndex, backgroundIndex, featureIndex, layout, weights, knownLC,
         gazette, normalizeTerms, occPatterns, reverse, distSim, tagsFlag, taggySeq, paren, ngram,
-        disjWidth, misc)
+        disjWidth, misc, genKey)
     } finally r.close()
   }
 }

@@ -105,16 +105,27 @@ object RefBinaryModel {
         flag("useDisjShape"), flag("useDisjunctiveShapeInteraction"),
         flag("useLemmas"), flag("usePrevNextLemmas"),
         flag("useChunks"), flag("useChunkySequences"),
+        flag("useUnknown"),
         flag("useAbbr"), flag("useMinimalAbbr"),
         flag("useABGENE"), flag("useABSTR"), flag("useABSTRFreq"),
         flag("useABSTRFreqDict"), flag("useGENIA"), flag("useWEB"),
         flag("useWEBFreqDict"), flag("useIsURL"), flag("useEntityRule"),
         flag("useEntityTypes"), flag("useIsDateRange"), flag("useFREQ"),
         flag("useEntityTypeSequences"), flag("useURLSequences"),
-        flag("useMUCFeatures"), flag("useClassFeature"), flag("useMoreAbbr"))
+        flag("useMUCFeatures"), flag("useClassFeature"), flag("useMoreAbbr"),
+        flag("useGenericFeatures"))
+      // useGenericFeatures' producer is the column map itself: any key
+      // unknown to AnnotationLookup is a generic annotation, and the
+      // CoreLabel collapse quirk leaves exactly one effective key
+      // (RefMapKeys.effectiveGenericKey)
+      val genKey =
+        if (flag("useGenericFeatures"))
+          flags.fields.get("map").collect { case s: String => s }
+            .flatMap(RefMapKeys.effectiveGenericKey)
+        else None
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize,
         weights, knownLC ++ extraKnownLC, gazetteOf(factory), normalizeTerms, occPatterns,
-        reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc)
+        reverse, distSim, useTags, useTaggySeq, paren, ngram, disjWidth, misc, genKey)
     } finally in.close()
   }
 
@@ -183,14 +194,18 @@ object RefBinaryModel {
     // head/governor values), the XX-gated abbr variants (NPE in the
     // reference itself, NERFeatureFactory.java:1053,1664), gazette
     // ANNOTATION families (GazAnnotation.equals NPEs without a producer,
-    // :1025-1045), useUnknown (a REAL producer exists in the true-casing
-    // readers), and useGenericFeatures (arbitrary per-column generic
-    // annotations).
+    // :1025-1045), and useGenericFeatures (arbitrary per-column generic
+    // annotations). useUnknown came OFF this list in round 5: the
+    // true-casing reader's seen-once producer is implemented
+    // (TrueCasing.readCorpus), the family is data-driven via Tok.unknown
+    // with raw-get "null" degeneration on plain column data. So did
+    // useGenericFeatures: its producer is the column map (any key unknown to
+    // AnnotationLookup), reduced to the single effective key by the
+    // CoreLabel.initFromStrings collapse quirk (RefMapKeys).
     val mustBeFalse = Seq(
       "useNPHead", "useNPGovernor", "useHeadGov",
       "useAbbr1", "useMinimalAbbr1",
-      "useGazFeatures", "useMoreGazFeatures",
-      "useUnknown", "useGenericFeatures")
+      "useGazFeatures", "useMoreGazFeatures")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {
       case b: Boolean => require(!b,
         s"model was trained with -$f: that feature family is not in this engine's template set")

@@ -101,8 +101,42 @@ object RefTextModel {
       RefModelAssembly.build(labelWindows, classIndex, featStrings, windowSize, weights,
         knownLC, gazette, fl.normalizeTerms, fl.useOccurrencePatterns, fl.useReverse,
         distSim = None, fl.useTags, fl.useTaggySequences, fl.useParenMatching,
-        fl.ngramOpts, fl.disjunctionWidth, fl.miscOpts)
+        fl.ngramOpts, fl.disjunctionWidth, fl.miscOpts, fl.genericKey)
     } finally r.close()
+  }
+}
+
+/** The reference's column-map key classification (AnnotationLookup.getCoreKey,
+  * AnnotationLookup.java:133-140): a map key matching a KeyLookup oldKey
+  * (case-sensitive) binds a core annotation; ANY other key becomes a generic
+  * annotation (CoreLabel.initFromStrings:124-136). Every generic key
+  * instantiates the SAME anonymous class there, so all generic columns
+  * collapse onto ONE annotation — per token the LAST generic column's value
+  * wins, and the class's registered display name is the LAST generic key —
+  * hence `effectiveGenericKey` returns exactly one key (the generic key with
+  * the highest column index; initFromStrings iterates columns ascending).
+  */
+private[ner] object RefMapKeys {
+  // KeyLookup oldKey values, AnnotationLookup.java:52-94 +
+  // OldFeatureLabelKeys:170-213
+  private val core = Set(
+    "value", "tag", "word", "lemma", "cat", "pcat", "hw", "ht", "idx", "arg",
+    "mark", "shw", "shp", "vs", "cft", "ner", "coref", "shape",
+    "LEFT_TERM", "PARENT", "SPAN", "before", "after", "current", "answer",
+    "goldAnswer", "features", "interpretation", "srl", "gazetteer", "stem",
+    "polarity", "char", "orig_seg", "seg", "BEGIN_POS", "END_POS",
+    "docID", "sentIndex", "idf", "endPosition", "chunk", "normalized")
+
+  /** Parse a `map` flag value (StringUtils.mapStringToArray: `k=i` pairs split
+    * on [,;], array indexed by column) and return the single EFFECTIVE
+    * generic key per the collapse quirk above, or None when every key is core.
+    */
+  def effectiveGenericKey(map: String): Option[String] = {
+    val byCol = map.split("[,;]").map { kv =>
+      val eq = kv.lastIndexOf('=')
+      (kv.substring(eq + 1).trim.toInt, kv.substring(0, eq).trim)
+    }.sortBy(_._1).map(_._2)
+    byCol.filterNot(core.contains).lastOption
   }
 }
 
@@ -129,7 +163,8 @@ private[ner] object RefModelAssembly {
       useParenMatching: Boolean = false,
       ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
       disjunctionWidth: Int = 4,
-      miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): NerModel = {
+      miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default,
+      genericKey: Option[String] = None): NerModel = {
     val numGroups = labelWindows.length
     val numClasses = classIndex.length
     require(windowSize == numGroups, s"windowSize $windowSize != labelIndices groups $numGroups")
@@ -167,7 +202,8 @@ private[ner] object RefModelAssembly {
       classIndex.indexOf("O"), featGroup, weightCol, numCols)
     new NerModel(classIndex, classIndex.indexOf("O"), featureIndex, layout, weights, knownLC,
       gazette, normalizeTerms, useOccurrencePatterns, useReverse, distSim,
-      useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth, miscOpts)
+      useTags, useTaggySequences, useParenMatching, ngramOpts, disjunctionWidth, miscOpts,
+      genericKey)
   }
 }
 
@@ -204,8 +240,14 @@ private[ner] object RefTextFlags {
     var conjoinShapeNGrams = false
     var disjunctionWidth = 4
     var wideDisjunctionWidth = 10 // SeqClassifierFlags.java:194
+    // the column map: feature-bearing ONLY under useGenericFeatures (any
+    // non-core key becomes the generic annotation, RefMapKeys)
+    var map: String = "word=0,tag=1,answer=2" // SeqClassifierFlags.java:191
     // misc families + must-be-false families, all default false
     val bool = scala.collection.mutable.Map.empty[String, Boolean].withDefaultValue(false)
+
+    def genericKey: Option[String] =
+      if (bool("usegenericfeatures")) RefMapKeys.effectiveGenericKey(map) else None
 
     def ngramOpts: NerFeatures.NgramOpts = NerFeatures.NgramOpts(maxNGramLeng,
       noMidNGrams, lowercaseNGrams, dehyphenateNGrams, greekifyNGrams, conjoinShapeNGrams)
@@ -219,6 +261,7 @@ private[ner] object RefTextFlags {
       bool("usedisjshape"), bool("usedisjunctiveshapeinteraction"),
       bool("uselemmas"), bool("useprevnextlemmas"),
       bool("usechunks"), bool("usechunkysequences"),
+      bool("useunknown"),
       bool("useabbr"), bool("useminimalabbr"),
       bool("useabgene"), bool("useabstr"), bool("useabstrfreq"),
       bool("useabstrfreqdict"), bool("usegenia"), bool("useweb"),
@@ -246,12 +289,12 @@ private[ner] object RefTextFlags {
     "usetaggysequencesshapeinteraction", "usesymtags", "useprevvb", "usenextvb",
     "usevb", "useshapeconjunctions", "usenextsequences", "usewidedisjunctive",
     "usedisjshape", "usedisjunctiveshapeinteraction", "uselemmas", "useprevnextlemmas",
-    "usechunks", "usechunkysequences",
+    "usechunks", "usechunkysequences", "useunknown",
     "useabbr", "useminimalabbr", "usemoreabbr",
     "useabgene", "useabstr", "useabstrfreq", "useabstrfreqdict", "usegenia",
     "useweb", "usewebfreqdict", "useisurl", "useentityrule", "useentitytypes",
     "useisdaterange", "usefreq", "useentitytypesequences", "useurlsequences",
-    "usemucfeatures", "useclassfeature")
+    "usemucfeatures", "useclassfeature", "usegenericfeatures")
 
   /** Same closure as RefBinaryModel.validateFlags: families whose features
     * this engine cannot emit (external annotations/resources).
@@ -259,8 +302,7 @@ private[ner] object RefTextFlags {
   private val mustBeFalse = Seq(
     "useNPHead", "useNPGovernor", "useHeadGov",
     "useAbbr1", "useMinimalAbbr1",
-    "useGazFeatures", "useMoreGazFeatures",
-    "useUnknown", "useGenericFeatures")
+    "useGazFeatures", "useMoreGazFeatures")
   private val mustBeFalseLower = mustBeFalse.map(k => k.toLowerCase -> k).toMap
 
   /** Feature-neutral keys: I/O, reader/encoding, optimizer, evaluation —
@@ -268,7 +310,7 @@ private[ner] object RefTextFlags {
     */
   private val neutralKeys = Set(
     "trainfile", "trainfilelist", "testfile", "serializeto", "serializetotext",
-    "loadclassifier", "loadtextclassifier", "map", "readerandwriter",
+    "loadclassifier", "loadtextclassifier", "readerandwriter",
     "inputencoding", "outputencoding", "encoding", "sigma", "adaptsigma",
     "epsilon", "tolerance", "qnsize", "useqn", "maxiterations", "numfolds",
     "startfold", "endfold", "mergetags", "justify", "printfeatures",
@@ -318,6 +360,7 @@ private[ner] object RefTextFlags {
         case "maxngramleng" => f.maxNGramLeng = value.trim.toInt
         case "disjunctionwidth" => f.disjunctionWidth = value.trim.toInt
         case "widedisjunctionwidth" => f.wideDisjunctionWidth = value.trim.toInt
+        case "map" => f.map = value.trim // feature-bearing under useGenericFeatures
         // ---- tracked booleans ----
         case "normalizeterms" => f.normalizeTerms = b(value)
         case "normalizetimex" => f.normalizeTimex = b(value)

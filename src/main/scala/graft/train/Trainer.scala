@@ -13,7 +13,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   */
 final case class LabeledDoc(words: Seq[String], labels: Seq[String],
     tags: Seq[String] = Seq.empty, lemmas: Seq[String] = Seq.empty,
-    chunks: Seq[String] = Seq.empty)
+    chunks: Seq[String] = Seq.empty, unknowns: Seq[String] = Seq.empty,
+    // useGenericFeatures: raw values of the SINGLE effective generic column
+    // (the CoreLabel collapse quirk, RefMapKeys) — joined with
+    // Config.genericKey at featurization
+    generics: Seq[String] = Seq.empty)
 
 /** Distributed CRF training: dictionary-build jobs + L-BFGS on the driver over
   * a `treeAggregate`d (value, gradient) — the classic Spark convex-optimization
@@ -85,6 +89,9 @@ object Trainer {
       // small families: useTitle/usePosition/useBeginSent/useSymWordPairs/
       // useFirstWord/useOrdinal
       miscOpts: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default,
+      // useGenericFeatures: the single effective generic column name (see
+      // RefMapKeys.effectiveGenericKey); requires miscOpts.useGenericFeatures
+      genericKey: Option[String] = None,
       // Ceiling on the knownLCWords vocabulary (model state used for the
       // dan2 'k' shape suffix). The reference grows it unboundedly
       // (CRFClassifier.java:1560 / ObjectBankWrapper.java:46-68) — fine at
@@ -271,6 +278,7 @@ object Trainer {
     val ngOpts = cfg.ngramOpts
     val disjW = cfg.disjunctionWidth
     val miscO = cfg.miscOpts
+    val genKey = cfg.genericKey.orNull
     val bcastDs = sc.broadcast(cfg.distSim)
     val knownLC: Set[String] = loadedMeta.map(_.knownLC)
       .getOrElse(knownLCWords(spark, docs, normTerms, cfg.maxKnownLCWords))
@@ -299,7 +307,7 @@ object Trainer {
       if (loadedMeta.isDefined) loadedMeta.get.features
       else if (!cfg.removeBackgroundSingletonFeatures) {
         val pairs = docs.flatMap { d =>
-          val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
+          val toks = withGenerics(withUnknowns(withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks), d.unknowns), d.generics, genKey)
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             byGroup.iterator.zipWithIndex.flatMap { case (fs, g) => fs.iterator.map(f => (g, f)) }
@@ -319,7 +327,7 @@ object Trainer {
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, sum, when}
         docs.flatMap { d =>
-          val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
+          val toks = withGenerics(withUnknowns(withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks), d.unknowns), d.generics, genKey)
           val lab = d.labels.toIndexedSeq
           (0 until toks.length).iterator.flatMap { pos =>
             val byGroup = NerFeatures.featuresAt(toks, pos, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
@@ -420,7 +428,7 @@ object Trainer {
         case None => docs
           .repartition(parts)
           .map { d =>
-            val toks = withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks)
+            val toks = withGenerics(withUnknowns(withChunks(withLemmas(withTags(preprocess(d.words.toIndexedSeq, bcastKnownLC.value, normTerms, bcastDs.value), d.tags), d.lemmas), d.chunks), d.unknowns), d.generics, genKey)
             val dict = bcastDict.value
             val enc = encodeWith(toks, dict, bcastGaz.value, occPat, bcastDs.value.isDefined, useTg, useTgSeq, useRev, useParen, ngOpts, disjW, miscO)
             (enc, d.labels.map(classOf).toArray)
@@ -703,7 +711,7 @@ object Trainer {
     new NerModel(classIndex, 0, featureIndex, layout, weights, knownLC, cfg.gazette,
       cfg.normalizeTerms, cfg.useOccurrencePatterns, cfg.useReverse, cfg.distSim,
       cfg.useTags, cfg.useTaggySequences, cfg.useParenMatching, cfg.ngramOpts,
-      cfg.disjunctionWidth, cfg.miscOpts)
+      cfg.disjunctionWidth, cfg.miscOpts, cfg.genericKey)
   }
 
   /** Attach per-token POS tags (when the doc has them) to preprocessed toks. */
@@ -729,6 +737,27 @@ object Trainer {
     else {
       require(chunks.length == toks.length, s"${toks.length} toks vs ${chunks.length} chunks")
       toks.indices.map(i => toks(i).copy(chunk = chunks(i)))
+    }
+
+  /** Attach per-token UnknownAnnotation values ("true"/"false", the
+    * true-casing reader's seen-once flags — TrueCasingDocumentReaderAndWriter
+    * .java:159) to preprocessed toks. */
+  def withUnknowns(toks: IndexedSeq[NerFeatures.Tok], unknowns: Seq[String]): IndexedSeq[NerFeatures.Tok] =
+    if (unknowns.isEmpty) toks
+    else {
+      require(unknowns.length == toks.length, s"${toks.length} toks vs ${unknowns.length} unknowns")
+      toks.indices.map(i => toks(i).copy(unknown = unknowns(i)))
+    }
+
+  /** Attach per-token generic-column values as pre-joined "<value>-<key>"
+    * strings (NERFeatureFactory.java:1466-1476; single effective key per the
+    * CoreLabel collapse quirk, RefMapKeys). */
+  def withGenerics(toks: IndexedSeq[NerFeatures.Tok], generics: Seq[String],
+      key: String): IndexedSeq[NerFeatures.Tok] =
+    if (generics.isEmpty || key == null) toks
+    else {
+      require(generics.length == toks.length, s"${toks.length} toks vs ${generics.length} generics")
+      toks.indices.map(i => toks(i).copy(generic = generics(i) + "-" + key))
     }
 
   /** Shared preprocessing: shape from the original word (frozen knownLC), then

@@ -1787,6 +1787,131 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
   }
 
+  test("GENERIC differential: -useGenericFeatures over generic map columns matches the reference, incl. the one-class collapse quirk") {
+    // useGenericFeatures (NERFeatureFactory.java:1466-1476) emits one
+    // C-clique feature `<value>-<key>` per cached generic annotation. The
+    // producer is the column map: any key UNKNOWN to AnnotationLookup becomes
+    // a generic annotation — but CoreLabel.initFromStrings instantiates the
+    // SAME anonymous class for every generic key (CoreLabel.java:128-136), so
+    // all generic columns collapse onto ONE annotation: per token the LAST
+    // generic column's value wins and the registered display name is the
+    // LAST generic key. This leg trains the reference with TWO generic
+    // columns (gen1, genval) to pin the quirk — the dictionary must contain
+    // `-genval` features and NO `-gen1` features — then requires tag-for-tag
+    // agreement with our engine feeding only the effective column.
+    //
+    // The flag has NO setProperties branch in this drop (SeqClassifierFlags
+    // declares the field at :546 but never parses it — the CLI prints
+    // "Unknown property: |useGenericFeatures|" and leaves it false), so the
+    // training run goes through a tiny probe that sets the field on the
+    // flags object before train() — the reference's supported library-API
+    // route. The serialized bundle then carries useGenericFeatures=true, so
+    // the TEST run uses the stock CLI: loadClassifier replaces flags
+    // wholesale with the deserialized object.
+    val refBuild = "/tmp/refbuild"
+    assume(Files.exists(Paths.get(s"$refBuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    val dir = "/tmp/refgeneric"
+    Files.createDirectories(Paths.get(dir))
+    // distinct deterministic alphabets so a wrong-column read would change tags
+    def gen1(w: String, i: Int): String =
+      "x" + (((graft.ops.Hashing.fnv1a64(w) >>> 7) + i) % 3).abs
+    def genval(w: String, i: Int): String =
+      "g" + ((graft.ops.Hashing.fnv1a64(w) + 3 * i) % 5).abs
+    def writeDocs(path: String, seed: Long, n: Long, meta: Option[String]): Unit = {
+      val sb = new StringBuilder
+      val mb = new StringBuilder
+      for (conv <- 0L until n; t <- 0 until graft.pipeline.Transcripts.numTurns(seed, conv)
+           if !graft.pipeline.Transcripts.isToolTurn(seed, conv, t)) {
+        val (ws, ls) = graft.pipeline.Transcripts.turnTokens(seed, conv, t)
+        for (i <- ws.indices)
+          sb.append(ws(i)).append('\t').append(gen1(ws(i), i)).append('\t')
+            .append(genval(ws(i), i)).append('\t').append(ls(i)).append('\n')
+        sb.append('\n')
+        mb.append(conv).append('\t').append(t).append('\t').append(ws.length).append('\n')
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      meta.foreach(m => Files.writeString(Paths.get(m), mb.toString))
+    }
+    writeDocs(s"$dir/train.tsv", 42L, 300L, None)
+    writeDocs(s"$dir/test.tsv", 99L, 150L, Some(s"$dir/meta.tsv"))
+    val preset = Seq(
+      "-readerAndWriter", "edu.stanford.nlp.sequences.ColumnDocumentReaderAndWriter",
+      "-map", "word=0,gen1=1,genval=2,answer=3",
+      "-useObservedSequencesOnly", "true", "-useLongSequences", "true",
+      "-useNGrams", "true", "-usePrev", "true", "-useNext", "true",
+      "-useWordPairs", "true", "-useSequences", "true", "-usePrevSequences", "true",
+      "-noMidNGrams", "true", "-useTypeSeqs", "true", "-useTypeSeqs2", "true",
+      "-useTypeySequences", "true", "-wordShape", "dan2useLC",
+      "-useLastRealWord", "true", "-useNextRealWord", "true",
+      // sigma 5 like the chunk leg: extra near-separable features push the
+      // reference optimizer to NaN at sigma 20
+      "-sigma", "5.0", "-normalize", "true", "-normalizeTimex", "true",
+      "-maxLeft", "2", "-useDisjunctive", "true", "-disjunctionWidth", "4",
+      "-useBoundarySequences", "true", "-useQN", "true", "-QNsize", "15")
+    val probe =
+      """import java.util.Properties;
+        |import edu.stanford.nlp.ie.crf.CRFClassifier;
+        |import edu.stanford.nlp.util.StringUtils;
+        |public class GenericProbe {
+        |  public static void main(String[] args) throws Exception {
+        |    Properties props = StringUtils.argsToProperties(args);
+        |    CRFClassifier crf = new CRFClassifier(props);
+        |    // no setProperties branch exists for this flag in the Jan-2009
+        |    // drop; set it through the public field (library-API route)
+        |    crf.flags.useGenericFeatures = true;
+        |    crf.train();
+        |    crf.serializeClassifier(crf.flags.serializeTo);
+        |  }
+        |}
+        |""".stripMargin
+    Files.writeString(Paths.get(s"$dir/GenericProbe.java"), probe)
+    assert(Seq("javac", "-nowarn", "-cp", s"$refBuild/classes", "-d", dir,
+      s"$dir/GenericProbe.java").! == 0, "probe javac failed")
+    def ref(args: String*): Int =
+      (Seq("java", "-Xmx4g", "-cp", s"$dir:$refBuild/classes", "GenericProbe") ++ args ++ preset).!
+    assert(ref("-trainFile", s"$dir/train.tsv", "-serializeTo", s"$dir/ref.ser.gz") == 0,
+      "reference training failed")
+    val tagCmd = Seq("java", "-Xmx2g", "-cp", s"$refBuild/classes",
+      "edu.stanford.nlp.ie.crf.CRFClassifier",
+      "-loadClassifier", s"$dir/ref.ser.gz", "-testFile", s"$dir/test.tsv") ++ preset
+    assert((tagCmd #> new java.io.File(s"$dir/ref_out.tsv")).! == 0)
+    def lcWords(f: String): Set[String] = Files.readAllLines(Paths.get(s"$dir/$f")).asScala
+      .filter(_.nonEmpty).map(l => graft.text.WordShape.fixWord(l.split("\t")(0)))
+      .filter(w => w.nonEmpty && Character.isLowerCase(w.charAt(0))).toSet
+    val model = graft.ner.RefBinaryModel.load(s"$dir/ref.ser.gz", extraKnownLC = lcWords("test.tsv"))
+    assert(model.miscOpts.useGenericFeatures,
+      "useGenericFeatures not recovered from the binary bundle")
+    assert(model.genericKey.contains("genval"),
+      s"effective generic key ${model.genericKey} != Some(genval) — the collapse quirk picks the LAST generic column")
+    // the collapse quirk, pinned against the reference's own dictionary:
+    // features exist for the LAST generic key only
+    val nGen = model.featureIndex.keySet().asScala.count(_.endsWith("-genval|C"))
+    val nGen1 = model.featureIndex.keySet().asScala.count(_.endsWith("-gen1|C"))
+    info(s"model carries $nGen -genval features and $nGen1 -gen1 features of ${model.numFeatures}")
+    assert(nGen >= 5, "expected a real population of -genval generic features")
+    assert(nGen1 == 0, "the reference emitted -gen1 features: the collapse quirk did not hold")
+    val refTags = RefCompare.parseRefOutput(Paths.get(s"$dir/ref_out.tsv"))
+    val meta = Files.readAllLines(Paths.get(s"$dir/meta.tsv")).asScala
+      .filter(_.nonEmpty).map { l => val p = l.split("\t"); (p(0).toLong, p(1).toInt, p(2).toInt) }.toVector
+    var agree = 0L; var total = 0L
+    val bad = Vector.newBuilder[String]
+    meta.zip(refTags).foreach { case ((conv, turnIdx, n), theirs) =>
+      val (ws, _) = graft.pipeline.Transcripts.turnTokens(99L, conv, turnIdx)
+      val ours = model.tag(ws, IndexedSeq.fill(ws.length)(null: String),
+        generics = ws.zipWithIndex.map { case (w, i) => genval(w, i) })
+      require(ours.length == n && theirs.length == n)
+      for (i <- 0 until n) {
+        if (ours(i) == theirs(i)) agree += 1
+        else bad += s"$conv/$turnIdx tok $i '${ws(i)}': ours=${ours(i)} ref=${theirs(i)}"
+        total += 1
+      }
+    }
+    val agreement = agree.toDouble / total
+    info(f"generic-leg token agreement = $agreement%.5f over $total tokens")
+    assert(agreement >= 0.995, s"agreement $agreement; sample:\n${bad.result().take(8).mkString("\n")}")
+  }
+
   test("PLAINTEXT differential: raw text through tokenize -> sentence-split -> tag matches the reference end-to-end") {
     // Every other leg feeds pre-tokenized column data, so the reference's
     // PTBTokenizer + WordToSentenceProcessor never ran against our

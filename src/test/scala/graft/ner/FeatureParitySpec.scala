@@ -139,7 +139,12 @@ class FeatureParitySpec extends AnyFunSuite {
       // (no feature for lemma-less tokens) must agree between the two paths
       t.copy(tag = tg, ds = if (i % 2 == 0) s"C_$i" else null,
         lemma = if (i % 2 == 1) t.word.toLowerCase + "_lm" else null,
-        chunk = if (i % 3 != 2) s"CH$i" else null) }
+        chunk = if (i % 3 != 2) s"CH$i" else null,
+        // unknown on a strict subset: raw-get semantics (absent -> "null")
+        // must agree between the two paths
+        unknown = if (i % 3 == 0) "true" else if (i % 3 == 1) "false" else null,
+        // generic: pre-joined "<value>-<key>" on a subset (null = no emission)
+        generic = if (i % 2 == 0) s"v$i-mycol" else null) }
     val misc = NerFeatures.MiscOpts(useTitle = true, usePosition = true, useBeginSent = true,
       useSymWordPairs = true, useFirstWord = true, useOrdinal = true,
       useMoreTags = true, useEitherSideWord = true, useWordTag = true,
@@ -150,19 +155,23 @@ class FeatureParitySpec extends AnyFunSuite {
       useWideDisjunctive = true, wideDisjunctionWidth = 2,
       useDisjShape = true, useDisjunctiveShapeInteraction = true,
       useLemmas = true, usePrevNextLemmas = true,
-      useChunks = true, useChunkySequences = true,
+      useChunks = true, useChunkySequences = true, useUnknown = true,
       useAbbr = true, useMinimalAbbr = true, useMoreAbbr = true,
       useABGENE = true, useABSTR = true, useABSTRFreq = true,
       useABSTRFreqDict = true, useGENIA = true, useWEB = true,
       useWEBFreqDict = true, useIsURL = true, useEntityRule = true,
       useEntityTypes = true, useIsDateRange = true, useFREQ = true,
       useEntityTypeSequences = true, useURLSequences = true,
-      useMUCFeatures = true, useClassFeature = true)
+      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
            false, false, NerFeatures.NgramOpts.default, 4, misc)(g))
       if (!dict.containsKey(f)) dict.put(f, Integer.valueOf(dict.size))
+    assert(dict.containsKey("true-UNKNOWN|C") && dict.containsKey("false-NUNKNOWN|C") &&
+      dict.containsKey("null-PUNKNOWN|C")) // useUnknown raw-get incl. the pad "null"
+    assert(dict.containsKey("v0-mycol|C") && !dict.containsKey("v1-mycol|C"),
+      "useGenericFeatures: emit only for generic-bearing tokens")
     assert(dict.containsKey("IS_TITLE|C") && dict.containsKey("C_ORDINAL|CpC") &&
       dict.containsKey("0-POSITION|C") && dict.containsKey("BEGIN-SENT|C") &&
       dict.containsKey("Dr|C")) // useFirstWord: the raw first word

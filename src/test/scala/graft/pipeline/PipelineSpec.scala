@@ -129,15 +129,18 @@ class PipelineSpec extends AnyFunSuite {
     val mo = graft.ner.NerFeatures.MiscOpts(useTitle = true, useOrdinal = true,
       useNextSequences = true, useWideDisjunctive = true, wideDisjunctionWidth = 7,
       useLemmas = true, usePrevNextLemmas = true, useChunks = true,
-      useChunkySequences = true, useAbbr = true, useMinimalAbbr = true,
+      useChunkySequences = true, useUnknown = true, useAbbr = true, useMinimalAbbr = true,
       useMoreAbbr = true, useABGENE = true, useGENIA = true, useWEB = true,
       useIsURL = true, useEntityTypes = true, useFREQ = true,
       useEntityTypeSequences = true, useURLSequences = true,
-      useMUCFeatures = true, useClassFeature = true)
+      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true)
     val mm = new graft.ner.NerModel(model.classIndex, model.backgroundIndex,
-      model.featureIndex, model.layout, model.weights, model.knownLC, miscOpts = mo)
+      model.featureIndex, model.layout, model.weights, model.knownLC, miscOpts = mo,
+      genericKey = Some("mycol"))
     val path3 = java.nio.file.Files.createTempDirectory("nermodel").resolve("m3.gz").toString
     NerModel.save(mm, path3)
-    assert(NerModel.load(path3).miscOpts == mo, "misc trailer round-trip")
+    val re3 = NerModel.load(path3)
+    assert(re3.miscOpts == mo, "misc trailer round-trip")
+    assert(re3.genericKey.contains("mycol"), "genericKey trailer round-trip")
   }
 }
