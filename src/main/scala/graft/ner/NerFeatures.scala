@@ -285,7 +285,19 @@ object NerFeatures {
       // feature per token, `<lastGenericValue>-<lastGenericKey>` — mirrored
       // exactly (the pre-join happens at tag/train time where the model's
       // generic key name is known; the emission here just suffixes).
-      useGenericFeatures: Boolean = false)
+      useGenericFeatures: Boolean = false,
+      // useNPHead / useNPGovernor / useHeadGov (NERFeatureFactory.java:
+      // 1140-1163): read TreeCoreAnnotations.HeadWordAnnotation /
+      // GovernorAnnotation via `get` + string concat (no .equals — NPE-free).
+      // NOTHING in this source drop sets either annotation (grep-verified:
+      // only the class declarations and an AnnotationLookup entry whose
+      // Class.forName target is a WRONG package+separator name, so even a
+      // `hw` map column binds a different class), so the templates
+      // degenerate to constants / tag- and distsim-suffixed semi-constants:
+      // null-HW, null-<tag>-HW-T, null-<ds>-HW-DISTSIM, null-GW,
+      // null-<tag>-GW-T, null-<ds>-DISTSIM-T1, null-null-HW_GW.
+      useNPHead: Boolean = false, useNPGovernor: Boolean = false,
+      useHeadGov: Boolean = false)
   object MiscOpts { val default: MiscOpts = MiscOpts() }
 
   private val TitlePat = java.util.regex.Pattern.compile("(Mr|Ms|Mrs|Dr|Miss|Sen|Judge|Sir)\\.?")
@@ -455,6 +467,17 @@ object NerFeatures {
       g0.add("null-SENT_POSITION|C"); g0.add("null-PARA_POSITION|C")
       g0.add("null-" + shapeGet(c) + "-WORD_POSITION_SHAPE|C")
     }
+    if (misc.useNPHead) {                                      // (:1140-1148)
+      g0.add("null-HW|C")
+      if (useTags) g0.add("null-" + tagGS(c) + "-HW-T|C")
+      if (useDistSim) g0.add("null-" + dsGet(c) + "-HW-DISTSIM|C")
+    }
+    if (misc.useNPGovernor) {                                  // (:1150-1158)
+      g0.add("null-GW|C")
+      if (useTags) g0.add("null-" + tagGS(c) + "-GW-T|C")
+      if (useDistSim) g0.add("null-" + dsGet(c) + "-DISTSIM-T1|C")
+    }
+    if (misc.useHeadGov) g0.add("null-null-HW_GW|C")           // (:1160-1162)
     if (misc.useClassFeature) g0.add("###|C")                  // (:1166-1168)
     if (misc.useGenericFeatures && c.generic != null)          // (:1466-1476)
       g0.add(c.generic + "|C") // pre-joined "<value>-<key>", see Tok.generic

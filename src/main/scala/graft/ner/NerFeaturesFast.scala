@@ -165,7 +165,8 @@ object NerFeaturesFast {
     "null-SECTION|C", "null-WORD_POSITION|C", "null-SENT_POSITION|C",
     "null-PARA_POSITION|C", "###|C",
     "null-null-ETSEQ|CpC", "null-null-URLSEQ|CpC",
-    "null-null-P2ABBRANS|Cp2C", "null-null-P2AP2CABB|Cp2C").map(f => f -> fnv(f)).toMap
+    "null-null-P2ABBRANS|Cp2C", "null-null-P2AP2CABB|Cp2C",
+    "null-HW|C", "null-GW|C", "null-null-HW_GW|C").map(f => f -> fnv(f)).toMap
   private val hNseq = fnv("NSEQ|CnC")
   private val hPnseq = fnv("PNSEQ|CpCnC")
 
@@ -301,6 +302,17 @@ object NerFeaturesFast {
       emit(hConstC("null-SENT_POSITION|C")); emit(hConstC("null-PARA_POSITION|C"))
       emit(h(h(hShapeGet(h(FnvOffset, "null-"), c), "-WORD_POSITION_SHAPE"), suffixC))
     }
+    if (misc.useNPHead) {                                   // (:1140-1148)
+      emit(hConstC("null-HW|C"))
+      if (useTags) emit(h(h(hTagGS(h(FnvOffset, "null-"), c), "-HW-T"), suffixC))
+      if (useDistSim) emit(h(h(hDsGet(h(FnvOffset, "null-"), c), "-HW-DISTSIM"), suffixC))
+    }
+    if (misc.useNPGovernor) {                               // (:1150-1158)
+      emit(hConstC("null-GW|C"))
+      if (useTags) emit(h(h(hTagGS(h(FnvOffset, "null-"), c), "-GW-T"), suffixC))
+      if (useDistSim) emit(h(h(hDsGet(h(FnvOffset, "null-"), c), "-DISTSIM-T1"), suffixC))
+    }
+    if (misc.useHeadGov) emit(hConstC("null-null-HW_GW|C")) // (:1160-1162)
     if (misc.useClassFeature) emit(hConstC("###|C"))
     if (misc.useGenericFeatures && c.generic != null) // (:1466-1476) pre-joined "<value>-<key>"
       emit(h(h(FnvOffset, c.generic), suffixC))

@@ -472,7 +472,7 @@ object NerModel {
       m.genericKey.foreach(k => w.write(s"opt\tgenericKey\t$k\n"))
       if (m.miscOpts != NerFeatures.MiscOpts.default) {
         val mo = m.miscOpts
-        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\t${mo.useChunks}\t${mo.useChunkySequences}\t${mo.useUnknown}\t${mo.useAbbr}\t${mo.useMinimalAbbr}\t${mo.useABGENE}\t${mo.useABSTR}\t${mo.useABSTRFreq}\t${mo.useABSTRFreqDict}\t${mo.useGENIA}\t${mo.useWEB}\t${mo.useWEBFreqDict}\t${mo.useIsURL}\t${mo.useEntityRule}\t${mo.useEntityTypes}\t${mo.useIsDateRange}\t${mo.useFREQ}\t${mo.useEntityTypeSequences}\t${mo.useURLSequences}\t${mo.useMUCFeatures}\t${mo.useClassFeature}\t${mo.useMoreAbbr}\t${mo.useGenericFeatures}\n")
+        w.write(s"misc\t${mo.useTitle}\t${mo.usePosition}\t${mo.useBeginSent}\t${mo.useSymWordPairs}\t${mo.useFirstWord}\t${mo.useOrdinal}\t${mo.useMoreTags}\t${mo.useEitherSideWord}\t${mo.useWordTag}\t${mo.useEitherSideDisjunctive}\t${mo.useExtraTaggySequences}\t${mo.useTypeSeqs3}\t${mo.useTaggySequencesShapeInteraction}\t${mo.useSymTags}\t${mo.usePrevVB}\t${mo.useNextVB}\t${mo.useVB}\t${mo.useShapeConjunctions}\t${mo.useNextSequences}\t${mo.useWideDisjunctive}\t${mo.wideDisjunctionWidth}\t${mo.useDisjShape}\t${mo.useDisjunctiveShapeInteraction}\t${mo.useLemmas}\t${mo.usePrevNextLemmas}\t${mo.useChunks}\t${mo.useChunkySequences}\t${mo.useUnknown}\t${mo.useAbbr}\t${mo.useMinimalAbbr}\t${mo.useABGENE}\t${mo.useABSTR}\t${mo.useABSTRFreq}\t${mo.useABSTRFreqDict}\t${mo.useGENIA}\t${mo.useWEB}\t${mo.useWEBFreqDict}\t${mo.useIsURL}\t${mo.useEntityRule}\t${mo.useEntityTypes}\t${mo.useIsDateRange}\t${mo.useFREQ}\t${mo.useEntityTypeSequences}\t${mo.useURLSequences}\t${mo.useMUCFeatures}\t${mo.useClassFeature}\t${mo.useMoreAbbr}\t${mo.useGenericFeatures}\t${mo.useNPHead}\t${mo.useNPGovernor}\t${mo.useHeadGov}\n")
       }
       m.distSim.foreach { ds =>
         w.write(s"distsim\t${ds.lexicon.size}\n")
@@ -549,7 +549,8 @@ object NerModel {
             b(11), b(12), b(13), b(14), b(15), b(16), b(17), b(18), b(19),
             b(20), if (p.length > 21) p(21).toInt else 10, b(22), b(23), b(24), b(25), b(26), b(27), b(28), b(29),
             b(30), b(31), b(32), b(33), b(34), b(35), b(36), b(37), b(38), b(39),
-            b(40), b(41), b(42), b(43), b(44), b(45), b(46), b(47), b(48))
+            b(40), b(41), b(42), b(43), b(44), b(45), b(46), b(47), b(48),
+            b(49), b(50), b(51))
         }
         else if (line.startsWith("ngram\t")) {
           val p = line.split("\t")

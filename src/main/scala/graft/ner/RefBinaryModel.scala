@@ -113,7 +113,8 @@ object RefBinaryModel {
         flag("useEntityTypes"), flag("useIsDateRange"), flag("useFREQ"),
         flag("useEntityTypeSequences"), flag("useURLSequences"),
         flag("useMUCFeatures"), flag("useClassFeature"), flag("useMoreAbbr"),
-        flag("useGenericFeatures"))
+        flag("useGenericFeatures"),
+        flag("useNPHead"), flag("useNPGovernor"), flag("useHeadGov"))
       // useGenericFeatures' producer is the column map itself: any key
       // unknown to AnnotationLookup is a generic annotation, and the
       // CoreLabel collapse quirk leaves exactly one effective key
@@ -199,11 +200,14 @@ object RefBinaryModel {
     // true-casing reader's seen-once producer is implemented
     // (TrueCasing.readCorpus), the family is data-driven via Tok.unknown
     // with raw-get "null" degeneration on plain column data. So did
-    // useGenericFeatures: its producer is the column map (any key unknown to
-    // AnnotationLookup), reduced to the single effective key by the
-    // CoreLabel.initFromStrings collapse quirk (RefMapKeys).
+    // useGenericFeatures (producer = the column map, reduced to the single
+    // effective key by the CoreLabel.initFromStrings collapse quirk,
+    // RefMapKeys) and useNPHead/useNPGovernor/useHeadGov (pure-concat
+    // templates over producer-less tree annotations — constant/semi-constant
+    // degenerations, NERFeatureFactory.java:1140-1163). The list is now the
+    // irreducible NPE core: families where the reference itself crashes
+    // without a producer, so no trained model can exist.
     val mustBeFalse = Seq(
-      "useNPHead", "useNPGovernor", "useHeadGov",
       "useAbbr1", "useMinimalAbbr1",
       "useGazFeatures", "useMoreGazFeatures")
     for (f <- mustBeFalse; v <- flags.fields.get(f)) v match {

@@ -268,7 +268,9 @@ private[ner] object RefTextFlags {
       bool("usewebfreqdict"), bool("useisurl"), bool("useentityrule"),
       bool("useentitytypes"), bool("useisdaterange"), bool("usefreq"),
       bool("useentitytypesequences"), bool("useurlsequences"),
-      bool("usemucfeatures"), bool("useclassfeature"), bool("usemoreabbr"))
+      bool("usemucfeatures"), bool("useclassfeature"), bool("usemoreabbr"),
+      bool("usegenericfeatures"),
+      bool("usenphead"), bool("usenpgovernor"), bool("useheadgov"))
   }
 
   /** Families the model may have been trained with or without — either way
@@ -294,13 +296,13 @@ private[ner] object RefTextFlags {
     "useabgene", "useabstr", "useabstrfreq", "useabstrfreqdict", "usegenia",
     "useweb", "usewebfreqdict", "useisurl", "useentityrule", "useentitytypes",
     "useisdaterange", "usefreq", "useentitytypesequences", "useurlsequences",
-    "usemucfeatures", "useclassfeature", "usegenericfeatures")
+    "usemucfeatures", "useclassfeature", "usegenericfeatures",
+    "usenphead", "usenpgovernor", "useheadgov")
 
   /** Same closure as RefBinaryModel.validateFlags: families whose features
     * this engine cannot emit (external annotations/resources).
     */
   private val mustBeFalse = Seq(
-    "useNPHead", "useNPGovernor", "useHeadGov",
     "useAbbr1", "useMinimalAbbr1",
     "useGazFeatures", "useMoreGazFeatures")
   private val mustBeFalseLower = mustBeFalse.map(k => k.toLowerCase -> k).toMap

@@ -932,6 +932,39 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(agreement >= 0.995, s"agreement $agreement")
   }
 
+  test("NP-HEAD/GOVERNOR differential: producer-less tree-annotation families under tags + distsim") {
+    assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
+      "compiled reference not present (bridge test skipped?)")
+    // useNPHead/useNPGovernor/useHeadGov (NERFeatureFactory.java:1140-1163):
+    // pure-concat templates over HeadWordAnnotation/GovernorAnnotation,
+    // which NOTHING in this drop produces — so they degenerate to constants
+    // (null-HW, null-GW, null-null-HW_GW) and tag/distsim semi-constants
+    // (null-<tag>-HW-T, null-<ds>-DISTSIM-T1, ...). This leg trains with
+    // tags AND distsim so the semi-constant variants are exercised against
+    // the reference, not just the bare constants.
+    import graft.pipeline.Transcripts.{firstNames, lastNames, locations, orgBases}
+    val lex = (firstNames.map(w => s"${w.toLowerCase} C_FIRST") ++
+      lastNames.take(12).map(w => s"${w.toLowerCase} C_LAST") ++
+      locations.map(w => s"${w.toLowerCase} C_CITY") ++
+      orgBases.take(10).map(w => s"${w.toLowerCase} C_ORG") ++
+      Seq("visited C_V", "hired C_V", "stayed C_V", "in C_P", "to C_P", "before C_P"))
+    Files.createDirectories(Paths.get("/tmp/refnphead"))
+    Files.writeString(Paths.get("/tmp/refnphead/distsim.txt"), lex.mkString("\n") + "\n")
+    val agreement = runOccTagLeg("/tmp/refnphead",
+      Seq("-useDistSim", "true", "-distSimLexicon", "/tmp/refnphead/distsim.txt",
+        "-useNPHead", "true", "-useNPGovernor", "true", "-useHeadGov", "true"),
+      reverseOurs = false, sigma = "5.0")
+    assert(agreement >= 0.995, s"agreement $agreement")
+    // the semi-constants must be real dictionary entries in the
+    // reference-trained model (the leg is not vacuous)
+    val model = graft.ner.RefBinaryModel.load("/tmp/refnphead/ref.ser.gz")
+    assert(model.miscOpts.useNPHead && model.miscOpts.useNPGovernor && model.miscOpts.useHeadGov)
+    for (f <- Seq("null-HW|C", "null-GW|C", "null-null-HW_GW|C",
+        "null-NNP-HW-T|C", "null-NNP-GW-T|C", "null-C_CITY-HW-DISTSIM|C",
+        "null-C_CITY-DISTSIM-T1|C"))
+      assert(model.featureIndex.containsKey(f), s"'$f' absent from the reference-trained dictionary")
+  }
+
   test("SYMTAGS+VB differential: symTags + VB scans + shape conjunctions (with distsim)") {
     assume(Files.exists(Paths.get("/tmp/refbuild/classes/edu/stanford/nlp/ie/crf/CRFClassifier.class")),
       "compiled reference not present (bridge test skipped?)")
@@ -1734,7 +1767,11 @@ class RefBridgeSpec extends AnyFunSuite {
       "-useWEBFreqDict", "true", "-useIsURL", "true", "-useEntityRule", "true",
       "-useEntityTypes", "true", "-useIsDateRange", "true", "-useFREQ", "true",
       "-useEntityTypeSequences", "true", "-useURLSequences", "true",
-      "-useMUCFeatures", "true", "-useClassFeature", "true")
+      "-useMUCFeatures", "true", "-useClassFeature", "true",
+      // the parse-annotation families: pure-concat templates over
+      // producer-less tree annotations (NERFeatureFactory.java:1140-1163) —
+      // constant degenerations here (useTags/useDistSim off in this leg)
+      "-useNPHead", "true", "-useNPGovernor", "true", "-useHeadGov", "true")
     def ref(args: String*): Int =
       (Seq("java", "-Xmx4g", "-cp", s"$refBuild/classes",
         "edu.stanford.nlp.ie.crf.CRFClassifier") ++ args ++ preset).!
@@ -1753,14 +1790,17 @@ class RefBridgeSpec extends AnyFunSuite {
     assert(model.miscOpts.useAbbr && model.miscOpts.useMinimalAbbr &&
       model.miscOpts.useMoreAbbr && model.miscOpts.useABGENE &&
       model.miscOpts.useGENIA && model.miscOpts.useMUCFeatures &&
-      model.miscOpts.useClassFeature && model.miscOpts.useURLSequences,
+      model.miscOpts.useClassFeature && model.miscOpts.useURLSequences &&
+      model.miscOpts.useNPHead && model.miscOpts.useNPGovernor &&
+      model.miscOpts.useHeadGov,
       "constant-family flags not recovered from the binary bundle")
     for (f <- Seq("null-ABBR|C", "null-null-PABBRANS|CpC",
         "null-null-null-2PABBRANS|CpCp2C", "null-null-P2AP2CABB|Cp2C",
         "null-null-P2ABBRANS|Cp2C", "null-ABGENE|C", "null-GENIA|C",
         "null-WEB|C", "null-ISURL|C", "null-ENTITYRULE|C", "null-ENTITYTYPE|C",
         "null-ISDATERANGE|C", "null-FREQ|C", "null-SECTION|C", "###|C",
-        "null-null-ETSEQ|CpC", "null-null-URLSEQ|CpC"))
+        "null-null-ETSEQ|CpC", "null-null-URLSEQ|CpC",
+        "null-HW|C", "null-GW|C", "null-null-HW_GW|C"))
       assert(model.featureIndex.containsKey(f), s"constant '$f' absent from the reference-trained dictionary")
     val nChunk = model.featureIndex.keySet().asScala.count(f =>
       f.contains("CHUNK") || f.endsWith("-2PCHUNKS|CpCp2C"))
@@ -2055,7 +2095,9 @@ class RefBridgeSpec extends AnyFunSuite {
         s"'$extra' rejected with unexpected message: ${e.getMessage}")
     }
     rejects("useDistSim=true", "distsim lexicon")
-    rejects("useNPHead=true", "useNPHead")
+    // useNPHead came off the rejection list late in round 5 (constant
+    // degeneration); the NPE families remain the irreducible rejected core
+    rejects("useGazFeatures=true", "useGazFeatures")
     rejects("someNovelFlag=true", "not modeled")
     rejects("normalizeTimex=false", "timex")
     rejects("wordShape=chris2useLC", "wordShape")

@@ -162,7 +162,8 @@ class FeatureParitySpec extends AnyFunSuite {
       useWEBFreqDict = true, useIsURL = true, useEntityRule = true,
       useEntityTypes = true, useIsDateRange = true, useFREQ = true,
       useEntityTypeSequences = true, useURLSequences = true,
-      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true)
+      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true,
+      useNPHead = true, useNPGovernor = true, useHeadGov = true)
     val dict = new java.util.HashMap[String, Integer]()
     for (pos <- words.indices; g <- 0 until 3;
          f <- NerFeatures.featuresAt(toks, pos, Gazette.empty, false, true, true, true,
@@ -172,6 +173,11 @@ class FeatureParitySpec extends AnyFunSuite {
       dict.containsKey("null-PUNKNOWN|C")) // useUnknown raw-get incl. the pad "null"
     assert(dict.containsKey("v0-mycol|C") && !dict.containsKey("v1-mycol|C"),
       "useGenericFeatures: emit only for generic-bearing tokens")
+    // NP-head/governor degenerations: constants + tag/distsim semi-constants
+    assert(dict.containsKey("null-HW|C") && dict.containsKey("null-GW|C") &&
+      dict.containsKey("null-null-HW_GW|C"))
+    assert(dict.containsKey("null-NNP-HW-T|C") && dict.containsKey("null-NNP-GW-T|C"))
+    assert(dict.containsKey("null-C_0-HW-DISTSIM|C") && dict.containsKey("null-null-DISTSIM-T1|C"))
     assert(dict.containsKey("IS_TITLE|C") && dict.containsKey("C_ORDINAL|CpC") &&
       dict.containsKey("0-POSITION|C") && dict.containsKey("BEGIN-SENT|C") &&
       dict.containsKey("Dr|C")) // useFirstWord: the raw first word

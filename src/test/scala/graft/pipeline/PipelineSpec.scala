@@ -133,7 +133,8 @@ class PipelineSpec extends AnyFunSuite {
       useMoreAbbr = true, useABGENE = true, useGENIA = true, useWEB = true,
       useIsURL = true, useEntityTypes = true, useFREQ = true,
       useEntityTypeSequences = true, useURLSequences = true,
-      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true)
+      useMUCFeatures = true, useClassFeature = true, useGenericFeatures = true,
+      useNPHead = true, useHeadGov = true)
     val mm = new graft.ner.NerModel(model.classIndex, model.backgroundIndex,
       model.featureIndex, model.layout, model.weights, model.knownLC, miscOpts = mo,
       genericKey = Some("mycol"))
