@@ -403,6 +403,63 @@ object SparkEntry {
     // code paths the hash-CRF rows certify (Tagger.spansOfSentence,
     // TripleRules.fromSentence, EntityLink.link, the GraphMaterializer
     // rollups), now with learned weights, each stage hash-gated.
+    // q56: the q30 production shape under the hash gate — REAL transcript
+    // turns (detokenized text) through the REAL serving path (tagTurns:
+    // PTB tokenize -> sentence split -> broadcast-model Viterbi) with a
+    // 4-class model trained on gold transcript turns; the oracle regenerates
+    // the token stream from the generator's splitmix64 formulas (the q54
+    // pattern — agreement therefore also certifies the tokenizer round trip)
+    // and replays shapes -> learned-weight joins -> 4-state Viterbi.
+    "q56_trained_transcripts_tags" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      Tagger.tagTurns(turns(s, d), bc)
+        .select(col("conv_id"), col("turn_idx"), col("token_idx").as("pos"),
+          col("word").as("token"), col("answer").as("tag"))
+    }),
+    // q57/q58: the north rule's headline outputs — mention spans (with REAL
+    // tokenizer character offsets) and (subj, pred, obj) triples over the
+    // transcript table — through the REAL shuffle-free pipeline
+    // (Tagger.mentions / KgPipeline.triples), hash-gated against the
+    // detokenize-offset + trigger-scan oracle.
+    "q57_trained_transcripts_spans" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      Tagger.mentions(turns(s, d), bc).toDF()
+    }),
+    "q58_trained_transcripts_triples" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      KgPipeline.triples(turns(s, d), bc).toDF()
+    }),
+    // q59-q61: linking + graph rollups over the trained-transcripts stream —
+    // the q33-q35 production shapes, hash-gated (the PERSON title strip does
+    // real work here: 'Dr. Alice Johnson' links to 'Alice Johnson').
+    "q59_trained_transcripts_link" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      EntityLink.link(Tagger.mentions(turns(s, d), bc))
+        .select(col("etype"), col("surface"), col("surface_id"), col("n_mentions"),
+          col("entity_id"), col("canonical_surface"))
+    }),
+    "q60_trained_transcripts_nodes" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      EntityLink.link(Tagger.mentions(turns(s, d), bc))
+        .groupBy(col("entity_id"), col("etype"))
+        .agg(sum(col("n_mentions")).as("n_mentions"),
+          max(struct(col("n_mentions").as("c"), col("canonical_surface").as("s")))
+            .getField("s").as("canonical_surface"),
+          count(lit(1)).as("n_surfaces"))
+    }),
+    "q61_trained_transcripts_edges" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
+      val (tps, ments) = KgPipeline.triplesAndMentions(turns(s, d), bc)
+      val linked = EntityLink.link(ments).localCheckpoint()
+      val surfMap = graft.kg.GraphMaterializer.surfaceMap(linked).drop("canonical_surface")
+      tps.toDF()
+        .join(surfMap.withColumnRenamed("etype", "subj_type").withColumnRenamed("surface", "subj")
+          .withColumnRenamed("entity_id", "subj_id"), Seq("subj_type", "subj"))
+        .join(surfMap.withColumnRenamed("etype", "obj_type").withColumnRenamed("surface", "obj")
+          .withColumnRenamed("entity_id", "obj_id"), Seq("obj_type", "obj"))
+        .groupBy(col("subj_id"), col("pred"), col("obj_id"))
+        .agg(count(lit(1)).as("weight"))
+    }),
     "q49_crf_trained_spans" -> ((s, d) => {
       import s.implicits._
       val (docs, bc) = trainedOver(s, d)
@@ -782,18 +839,24 @@ object SparkEntry {
     s"hyper(t, b, w) AS (VALUES ${rows.mkString(",")})"
   }
 
-  /** dan2UseLC shape of a string column (same formula as the q38 oracle:
-    * char-class map with the '_'→x rule, run-collapse via list_reduce, the
-    * leading-'~' lastM quirk, :len suffix; knownLCWords empty → no 'k').
+  /** dan2UseLC char-class list of a string column (shape stage 1): d/x/X
+    * classes with the '_'→x rule.
     */
-  private def dan2Sql(c: String): String =
-    s"""'WT-' || regexp_replace(list_reduce(
-       |      list_transform(string_split($c, ''), ch ->
+  private def dan2ClsSql(c: String): String =
+    s"""list_transform(string_split($c, ''), ch ->
        |        CASE WHEN ch BETWEEN '0' AND '9' THEN 'd'
        |             WHEN (ch BETWEEN 'a' AND 'z') OR ch = '_' THEN 'x'
        |             WHEN ch BETWEEN 'A' AND 'Z' THEN 'X'
-       |             ELSE ch END),
-       |      (a, ch) -> CASE WHEN right(a, 1) = ch THEN a ELSE a || ch END), '^~', '') ||
+       |             ELSE ch END)""".stripMargin
+
+  /** dan2UseLC shape from a `cls` class-list column (stage 2): run-collapse
+    * via index-aware list_filter (NOT a VARCHAR-accumulator list_reduce —
+    * see the q38 oracle / TranscriptsOracle for the DuckDB 1.0.0 defect),
+    * the leading-'~' lastM quirk, :len suffix; knownLCWords empty → no 'k'.
+    */
+  private def dan2FromClsSql(c: String): String =
+    s"""'WT-' || regexp_replace(array_to_string(
+       |      list_filter(cls, (ch, j) -> j = 1 OR ch != cls[j-1]), ''), '^~', '') ||
        |    CASE WHEN length($c) <= 3 THEN ':' || length($c) ELSE '' END""".stripMargin
 
   /** Full CRF-Viterbi oracle (q41): feature strings -> hash-derived weights
@@ -818,7 +881,8 @@ object SparkEntry {
     s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokSql') t FROM documents),
        |posn AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM tok),
        |wrow AS (SELECT doc_id, i, t[i] AS w, len(t) AS n FROM posn),
-       |shp AS (SELECT doc_id, i, w, n, ${dan2Sql("w")} AS s FROM wrow),
+       |wcls AS (SELECT doc_id, i, w, n, ${dan2ClsSql("w")} AS cls FROM wrow),
+       |shp AS (SELECT doc_id, i, w, n, ${dan2FromClsSql("w")} AS s FROM wcls),
        |pshp AS (SELECT doc_id, i, w, n, s,
        |    coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY i), '') AS ps FROM shp)""".stripMargin
 
@@ -937,7 +1001,7 @@ object SparkEntry {
   /** Triple tail over `spans` + `offs` — shared by the hash-CRF and
     * trained-CRF oracle chains.
     */
-  private val tripleTailCtes: String = {
+  private[graft] val tripleTailCtes: String = {
     val trigRows = TripleRules.triggers.toSeq.sortBy(_.toString).map {
       case ((w, st, ot), pred) => s"('$w','$st','$ot','$pred')"
     }.mkString(",")
@@ -976,7 +1040,7 @@ object SparkEntry {
     * components, and the highest-mention-count (ties: lexicographic)
     * canonical representative.
     */
-  private val linkCtes: String = {
+  private[graft] val linkCtes: String = {
     val P = "2305843009213693951" // 2^61 - 1
     val P61 = "2305843009213693952" // 2^61
     def fnvContSql(h: String, strCol: String): String =
@@ -1232,6 +1296,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q41_crf_viterbi" -> crfViterbiOracleSql,
     "q48_crf_trained" -> crfTrainedOracleSql,
+    "q56_trained_transcripts_tags" -> TranscriptsOracle.tagsSql(TrainedTranscriptsCrf.model()),
+    "q57_trained_transcripts_spans" -> TranscriptsOracle.spansSql(TrainedTranscriptsCrf.model()),
+    "q58_trained_transcripts_triples" -> TranscriptsOracle.triplesSql(TrainedTranscriptsCrf.model()),
+    "q59_trained_transcripts_link" -> TranscriptsOracle.linkSql(TrainedTranscriptsCrf.model()),
+    "q60_trained_transcripts_nodes" -> TranscriptsOracle.nodesSql(TrainedTranscriptsCrf.model()),
+    "q61_trained_transcripts_edges" -> TranscriptsOracle.edgesSql(TrainedTranscriptsCrf.model()),
     "q49_crf_trained_spans" -> crfTrainedSpansOracleSql,
     "q50_crf_trained_triples" -> crfTrainedTriplesOracleSql,
     "q51_trained_entity_link" -> crfTrainedLinkOracleSql,
@@ -1479,21 +1549,25 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // dan2 word shape reproduced in SQL: per-char class map (d/x/X/self),
-    // run-collapse via list_reduce, the reference's leading-'~' quirk
+    // run-collapse via index-aware list_filter (NOT list_reduce: DuckDB
+    // 1.0.0's list_reduce with a growing-VARCHAR accumulator returns a
+    // NEIGHBOR row's reduction when adjacent rows carry different list
+    // lengths — see TranscriptsOracle; HUGEINT-accumulator folds are
+    // unaffected), the reference's leading-'~' quirk
     // (WordShapeClassifier.java:236 inits lastM='~', so a leading '~' run is
     // silently dropped), and the :len suffix for short words.
     "q38_shape_histogram" ->
       s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '$TokSql')) tok FROM documents),
-         |shapes AS (SELECT 'WT-' ||
-         |    regexp_replace(list_reduce(
-         |      list_transform(string_split(tok, ''), c ->
+         |clsd AS (SELECT tok, list_transform(string_split(tok, ''), c ->
          |        CASE WHEN c BETWEEN '0' AND '9' THEN 'd'
          |             WHEN (c BETWEEN 'a' AND 'z') OR c = '_' THEN 'x'
          |             WHEN c BETWEEN 'A' AND 'Z' THEN 'X'
-         |             ELSE c END),
-         |      (a, c) -> CASE WHEN right(a, 1) = c THEN a ELSE a || c END), '^~', '') ||
+         |             ELSE c END) AS cls FROM toks),
+         |shapes AS (SELECT 'WT-' ||
+         |    regexp_replace(array_to_string(
+         |      list_filter(cls, (c, j) -> j = 1 OR c != cls[j-1]), ''), '^~', '') ||
          |    CASE WHEN length(tok) <= 3 THEN ':' || length(tok) ELSE '' END AS shape
-         |  FROM toks)
+         |  FROM clsd)
          |SELECT shape, CAST(count(*) AS BIGINT) AS n FROM shapes GROUP BY 1 ORDER BY n DESC, shape""".stripMargin,
     // record iterators: the synthesized corpus is documents in doc_id order,
     // so a correct file round trip reproduces the table exactly

@@ -62,7 +62,7 @@ object Transcripts {
     * are literal filler (label O). Chosen to exercise the predicate-trigger
     * vocabulary of TripleRules plus plain co-occurrence and no-entity turns.
     */
-  private val templates: IndexedSeq[Seq[String]] = Vector(
+  private[graft] val templates: IndexedSeq[Seq[String]] = Vector(
     Seq("P", "works", "at", "G", "in", "L", "."),
     Seq("P", "visited", "L", "on", "D", "."),
     Seq("G", "opened", "an", "office", "in", "L", "."),
