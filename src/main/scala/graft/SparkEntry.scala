@@ -432,6 +432,22 @@ object SparkEntry {
     // q59-q61: linking + graph rollups over the trained-transcripts stream —
     // the q33-q35 production shapes, hash-gated (the PERSON title strip does
     // real work here: 'Dr. Alice Johnson' links to 'Alice Johnson').
+    // q62-q64: the DEFAULT on-disk production model (q30/q32/q33's own
+    // weights) under the hash gate — the engine side is the q30/q32/q33
+    // code path verbatim; the oracle re-derives the complete conllNoTags
+    // feature surface (n-grams, knownLC shapes, disjunctive windows, the
+    // sequence templates), the observed-window potential tables and a
+    // 16-state second-order Viterbi from the embedded weight matrix.
+    "q62_default_model_tags" -> ((s, d) =>
+      Tagger.tagTurns(turns(s, d), NerModels.default(s))
+        .select(col("conv_id"), col("turn_idx"), col("token_idx").as("pos"),
+          col("word").as("token"), col("answer").as("tag"))),
+    "q63_default_model_triples" -> ((s, d) =>
+      KgPipeline.triples(turns(s, d), NerModels.default(s)).toDF()),
+    "q64_default_model_link" -> ((s, d) =>
+      EntityLink.link(Tagger.mentions(turns(s, d), NerModels.default(s)))
+        .select(col("etype"), col("surface"), col("surface_id"), col("n_mentions"),
+          col("entity_id"), col("canonical_surface"))),
     "q59_trained_transcripts_link" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(TrainedTranscriptsCrf.model(s))
       EntityLink.link(Tagger.mentions(turns(s, d), bc))
@@ -1300,6 +1316,9 @@ object SparkEntry {
     "q57_trained_transcripts_spans" -> TranscriptsOracle.spansSql(TrainedTranscriptsCrf.model()),
     "q58_trained_transcripts_triples" -> TranscriptsOracle.triplesSql(TrainedTranscriptsCrf.model()),
     "q59_trained_transcripts_link" -> TranscriptsOracle.linkSql(TrainedTranscriptsCrf.model()),
+    "q62_default_model_tags" -> DefaultModelOracle.tagsSql(graft.ner.NerModel.load(NerModels.defaultPath)),
+    "q63_default_model_triples" -> DefaultModelOracle.triplesSql(graft.ner.NerModel.load(NerModels.defaultPath)),
+    "q64_default_model_link" -> DefaultModelOracle.linkSql(graft.ner.NerModel.load(NerModels.defaultPath)),
     "q60_trained_transcripts_nodes" -> TranscriptsOracle.nodesSql(TrainedTranscriptsCrf.model()),
     "q61_trained_transcripts_edges" -> TranscriptsOracle.edgesSql(TrainedTranscriptsCrf.model()),
     "q49_crf_trained_spans" -> crfTrainedSpansOracleSql,

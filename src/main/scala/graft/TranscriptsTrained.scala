@@ -137,7 +137,7 @@ object TranscriptsOracle {
   /** The generator's timex word fix (WordShape.fixWord): full-match
     * case-insensitive month/day names lowercase; everything else unchanged.
     */
-  private val monthDays = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
+  private[graft] val monthDays = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
     "saturday", "sunday", "january", "february", "march", "april", "may", "june",
     "july", "august", "september", "october", "november", "december")
 
@@ -152,13 +152,13 @@ object TranscriptsOracle {
     * tokens (Xx vs x classes) expose it. The trailing '^~' replace mirrors
     * dan2's leading-lastM quirk (a literal leading '~' run is dropped).
     */
-  private val clsSql: String =
+  private[graft] val clsSql: String =
     """list_transform(string_split(w, ''), ch ->
       |        CASE WHEN ch BETWEEN '0' AND '9' THEN 'd'
       |             WHEN (ch BETWEEN 'a' AND 'z') OR ch = '_' THEN 'x'
       |             WHEN ch BETWEEN 'A' AND 'Z' THEN 'X'
       |             ELSE ch END)""".stripMargin
-  private val shapeFromClsSql: String =
+  private[graft] val shapeFromClsSql: String =
     """'WT-' || regexp_replace(
       |      array_to_string(list_filter(cls, (ch, j) -> j = 1 OR ch != cls[j-1]), ''),
       |      '^~', '') ||
@@ -172,7 +172,7 @@ object TranscriptsOracle {
     * conditionals, the r>>>3 / r>>>5 sub-draws, the splitmix64(r) second
     * draw for last names and second org bases).
     */
-  private def tokenCtes: String = {
+  private[graft] def tokenCtes: String = {
     val tplRows = Transcripts.templates.zipWithIndex.flatMap { case (tpl, tid) =>
       var slot = 0
       tpl.zipWithIndex.map { case (t, pos) =>
@@ -350,7 +350,7 @@ object TranscriptsOracle {
     * (Tagger.spansOfSentence): surfaces cut from the re-rendered turn text
     * exactly like the engine's text.substring(begin, end).
     */
-  private val spanCtes: String =
+  private[graft] val spanCtes: String =
     s"""rend AS (SELECT doc_id, i, w, tag,
        |    CASE w WHEN '-LRB-' THEN '(' WHEN '-RRB-' THEN ')' WHEN '-LSB-' THEN '['
        |           WHEN '-RSB-' THEN ']' WHEN '``' THEN '"' WHEN '''''' THEN '"' ELSE w END AS rw,
@@ -374,7 +374,7 @@ object TranscriptsOracle {
        |    substring(any_value(t.txt), min(r.b) + 1, max(r.b + r.rl) - min(r.b)) AS surface
        |  FROM runs r JOIN txts t USING (doc_id) GROUP BY r.doc_id, r.tag, r.grp)""".stripMargin
 
-  private def docCols: String =
+  private[graft] def docCols: String =
     """'conv' || lpad((doc_id // 100)::VARCHAR, 8, '0') AS conv_id,
       |  (doc_id % 100)::INT AS turn_idx""".stripMargin
 
@@ -430,4 +430,273 @@ object TranscriptsOracle {
        |JOIN linkedo sm1 ON sm1.etype = t.subj_type AND sm1.surface = t.subj
        |JOIN linkedo sm2 ON sm2.etype = t.obj_type AND sm2.surface = t.obj
        |GROUP BY 1, 2, 3""".stripMargin
+}
+
+/** DuckDB oracle for the DEFAULT production model — q30's own weights under
+  * the hash gate. The engine side is literally the q30 query (the on-disk
+  * `models/ner-conllnotags-v1.gz` model through `Tagger.tagTurns`); the
+  * oracle regenerates the transcript token stream (TranscriptsOracle's
+  * splitmix64 chain), re-derives EVERY conllNoTags feature family in SQL —
+  * n-grams (noMidNGrams substring enumeration of `<word>`), word/prev/next
+  * word pairs, dan2 shapes WITH the knownLCWords 'k' suffix, the shape
+  * conjunction templates (PW_CTYPE…PCNTYPE, the length-gated PPW/NNW
+  * variants), disjunctive word windows, and the CpC/CpCp2C sequence
+  * templates — in the engine's exact `idsAt` emission order with
+  * first-occurrence dedup, embeds all feature weight rows plus the
+  * observed-window column maps, folds per-factor weight sums in emission
+  * order (bit-exact left folds: `list_reduce` over DOUBLE[] accumulators —
+  * validated unaffected by the VARCHAR list_reduce defect), builds the full
+  * 64-entry (prev2, prev, cur) potential tables with -infinity for
+  * unobserved label windows (`useObservedSequencesOnly`), and decodes with a
+  * 16-state second-order Viterbi (states = prev + 4·prev2, engine
+  * first-index tie order).
+  */
+object DefaultModelOracle {
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  /** One VALUES row per feature: (feature, weight-row as a '[…]'::DOUBLE[]
+    * cast string — Double.toString round-trips exactly through DuckDB's
+    * VARCHAR→DOUBLE cast, the generalized q47 lesson).
+    */
+  private def weightRows(m: NerModel): String = {
+    val names = new Array[String](m.featureIndex.size)
+    m.featureIndex.forEach((k, v) => names(v.intValue) = k)
+    val sb = new StringBuilder
+    for (id <- names.indices) {
+      if (sb.nonEmpty) sb.append(",\n")
+      sb.append(s"('${esc(names(id))}','${m.weights(id).mkString("[", ",", "]")}'::DOUBLE[])")
+    }
+    sb.toString
+  }
+
+  /** The 64-entry potential-table expression list: for each full window
+    * encoding enc = cur + 4·prev + 16·prev2, either the engine's
+    * ((g0 + g1) + g2) sum over the groups' observed-column values, or
+    * -infinity when any group's window is unobserved
+    * (Crf.logPotentials: weightCol(g)(enc % 4^(g+1)) < 0 → NegInf).
+    */
+  private def potExprs(m: NerModel): String = {
+    val wc = m.layout.weightCol
+    (0 until 64).map { enc =>
+      val c0 = wc(0)(enc % 4); val c1 = wc(1)(enc % 16); val c2 = wc(2)(enc)
+      if (c0 < 0 || c1 < 0 || c2 < 0) "'-infinity'::DOUBLE"
+      else s"((g0v[${c0 + 1}] + g1v[${c1 + 1}]) + g2v[${c2 + 1}])"
+    }.mkString(",\n    ")
+  }
+
+  /** A group's all-zero column vector (the engine's empty-feature-set sum). */
+  private def zeros(m: NerModel, grp: Int): String =
+    Seq.fill(m.layout.weightCol(grp).max + 1)("0.0").mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** Element-wise left-fold of the ordered weight rows of one group:
+    * acc[k] = ((0 + w1[k]) + w2[k]) + … — the exact association of the
+    * engine's per-column scalar loop (Crf.logPotentials: s = 0.0; s += w…).
+    */
+  private def foldCte(grp: Int, nCols: Int, out: String): String = {
+    val zeros = Seq.fill(nCols)("0.0").mkString("[", ",", "]")
+    val add = (1 to nCols).map(k => s"a[$k]+b[$k]").mkString("[", ",", "]")
+    s"""g${grp}s AS (SELECT doc_id, i,
+       |    list_reduce(list_prepend($zeros::DOUBLE[], list(warr ORDER BY seq)), (a,b) -> $add::DOUBLE[]) AS $out
+       |  FROM matched WHERE grp = $grp GROUP BY doc_id, i)""".stripMargin
+  }
+
+  /** Per-token attribute CTEs over TranscriptsOracle's `wrow`: original word,
+    * timex-fixed word, dan2 shape WITH the model's frozen knownLCWords 'k'
+    * suffix (all-letter words whose lowercase form is in the set), and the
+    * ±2 windowed views with the reference's pad semantics (word "" /
+    * shape null → get "null", getString "").
+    */
+  private def attCtes(m: NerModel): String = {
+    val klc = m.knownLC.toSeq.sorted.map(w => s"'${esc(w)}'").mkString(", ")
+    val fixList = TranscriptsOracle.monthDays.map(d => s"'$d'").mkString(", ")
+    s"""cls0 AS (SELECT doc_id, i, w, n, ${TranscriptsOracle.clsSql} AS cls FROM wrow),
+       |shp AS MATERIALIZED (SELECT doc_id, i, w, n,
+       |    concat(${TranscriptsOracle.shapeFromClsSql},
+       |      CASE WHEN len(list_filter(cls, c -> c NOT IN ('x','X'))) = 0
+       |            AND lower(w) IN ($klc) THEN 'k' ELSE '' END) AS s,
+       |    CASE WHEN lower(w) IN ($fixList) THEN lower(w) ELSE w END AS fw
+       |  FROM cls0),
+       |win AS (SELECT doc_id, i, n, w, s, fw,
+       |    lag(fw)     OVER dw AS pfw,  lag(fw, 2)  OVER dw AS p2fw,
+       |    lag(fw, 3)  OVER dw AS p3fw, lag(fw, 4)  OVER dw AS p4fw,
+       |    lead(fw)    OVER dw AS nfw,  lead(fw, 2) OVER dw AS n2fw,
+       |    lead(fw, 3) OVER dw AS n3fw, lead(fw, 4) OVER dw AS n4fw,
+       |    lag(s)      OVER dw AS psr,  lag(s, 2)   OVER dw AS p2sr,
+       |    lead(s)     OVER dw AS nsr
+       |  FROM shp WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
+       |att AS MATERIALIZED (SELECT doc_id, i, n, s AS cs, fw AS cw,
+       |    coalesce(pfw, '') pw, coalesce(p2fw, '') p2w,
+       |    coalesce(p3fw, '') p3w, coalesce(p4fw, '') p4w,
+       |    coalesce(nfw, '') nw, coalesce(n2fw, '') n2w,
+       |    coalesce(n3fw, '') n3w, coalesce(n4fw, '') n4w,
+       |    coalesce(psr, 'null') psg, coalesce(psr, '') pss,
+       |    coalesce(nsr, 'null') nsg, coalesce(p2sr, 'null') p2sg
+       |  FROM win)""".stripMargin
+  }
+
+  /** Feature emission, in `NerFeaturesFast.idsAt` code order (seq). Group 0:
+    * n-grams (i asc, j asc; seq = i·100 + j, word length bounded far below
+    * 100), then the fixed conllNoTags templates from seq 10000, then the
+    * interleaved DISJN/DISJP width-4 window. Groups 1-2: the fixed sequence
+    * templates. First-occurrence dedup = min(seq) per feature string.
+    */
+  private val featCtes: String = {
+    val g0Fixed = Seq(
+      "cw || '-WORD|C'",
+      "pw || '-PW|C'",
+      "nw || '-NW|C'",
+      "cw || '-' || pw || '-W-PW|C'",
+      "cw || '-' || nw || '-W-NW|C'",
+      "cs || '-TYPE|C'",
+      "psg || '-PTYPE|C'",
+      "nsg || '-NTYPE|C'",
+      "pw || '...' || cs || '-PW_CTYPE|C'",
+      "cs || '...' || nw || '-NW_CTYPE|C'",
+      "psg || '...' || cs || '-PCTYPE|C'",
+      "cs || '...' || nsg || '-CNTYPE|C'",
+      "psg || '...' || cs || '...' || nsg || '-PCNTYPE|C'",
+      "CASE WHEN length(pw) <= 3 THEN p2w || '...' || cs || '-PPW_CTYPE|C' END",
+      "CASE WHEN length(nw) <= 3 THEN n2w || '...' || cs || '-NNW_CTYPE|C' END",
+      "nw  || '-DISJN|C'", "pw  || '-DISJP|C'",
+      "n2w || '-DISJN|C'", "p2w || '-DISJP|C'",
+      "n3w || '-DISJN|C'", "p3w || '-DISJP|C'",
+      "n4w || '-DISJN|C'", "p4w || '-DISJP|C'")
+      .zipWithIndex.map { case (e, k) => s"(${10000 + k}, $e)" }.mkString(",\n      ")
+    val g1Fixed = Seq(
+      "'PSEQ|CpC'",
+      "cw || '-PSEQW|CpC'",
+      "pw || '-' || cw || '-PSEQW2|CpC'",
+      "pw || '-PSEQpW|CpC'",
+      "'-PSEQpDS|CpC'",
+      "'-PSEQcDS|CpC'",
+      "'--PSEQpcDS|CpC'",
+      "pss || '-PSEQpS|CpC'",
+      "cs || '-PSEQcS|CpC'",
+      "pss || '-' || cs || '-PSEQpcS|CpC'",
+      "pss || '-' || cs || '-TYPES|CpC'",
+      "cs || '-TPS2|CpC'",
+      "nsg || '-TNS1|CpC'")
+      .zipWithIndex.map { case (e, k) => s"(${k + 1}, $e)" }.mkString(",\n      ")
+    val g2Fixed = Seq(
+      "'PPSEQ|CpCp2C'",
+      "p2sg || '-' || psg || '-' || cs || '-TYPETYPES|CpCp2C'")
+      .zipWithIndex.map { case (e, k) => s"(${k + 1}, $e)" }.mkString(",\n      ")
+    s"""ngr AS (SELECT doc_id, i, u.sq AS seq, u.f AS f FROM (
+       |    SELECT doc_id, i, unnest(flatten([[struct_pack(
+       |        sq := ii * 100 + jj,
+       |        f  := '#' || substring(wn, ii + 1, jj - ii) || '#|C')
+       |      FOR jj IN range(ii + 2, length(wn) + 1) IF ii = 0 OR jj = length(wn)]
+       |      FOR ii IN range(0, length(wn))])) AS u
+       |    FROM (SELECT doc_id, i, '<' || cw || '>' AS wn FROM att))),
+       |feats AS (
+       |  SELECT doc_id, i, 0 AS grp, seq, f FROM ngr
+       |  UNION ALL
+       |  SELECT doc_id, i, 0, t.sq, t.f FROM att,
+       |    LATERAL (SELECT * FROM (VALUES
+       |      $g0Fixed) v(sq, f)) t
+       |  UNION ALL
+       |  SELECT doc_id, i, 1, t.sq, t.f FROM att,
+       |    LATERAL (SELECT * FROM (VALUES
+       |      $g1Fixed) v(sq, f)) t
+       |  UNION ALL
+       |  SELECT doc_id, i, 2, t.sq, t.f FROM att,
+       |    LATERAL (SELECT * FROM (VALUES
+       |      $g2Fixed) v(sq, f)) t),
+       |fdd AS MATERIALIZED (SELECT doc_id, i, grp, f, min(seq) AS seq
+       |  FROM feats WHERE f IS NOT NULL GROUP BY doc_id, i, grp, f),
+       |matched AS MATERIALIZED (SELECT d.doc_id, d.i, d.grp, d.seq, wv.warr
+       |  FROM fdd d JOIN wv ON wv.f = d.f)""".stripMargin
+  }
+
+  /** 16-state second-order Viterbi over `pots(doc_id, i, n, pot64)`:
+    * DP states sx-1 = cur + 4·prev; candidates for a target (cur, prev)
+    * come from prior states prev + 4·prev2 with prev2 ascending (the
+    * engine's strict-> scan keeps the first maximum); initial row = the
+    * all-background pre-document state (only prev=O states reachable).
+    */
+  private def viterbi16(labels: Seq[String]): String = {
+    def cand(t: Int, p2: Int) = {
+      val c = t % 4; val prev = t / 4
+      s"(v.scores[${prev + 4 * p2 + 1}] + p.pot64[${c + 4 * prev + 16 * p2 + 1}])"
+    }
+    def bestVal(t: Int) = s"greatest(${(0 until 4).map(cand(t, _)).mkString(", ")})"
+    def bestPath(t: Int) = {
+      val prev = t / 4
+      val whens = (0 until 3).map { p2 =>
+        val conds = (p2 + 1 until 4).map(q => s"${cand(t, p2)} >= ${cand(t, q)}").mkString(" AND ")
+        s"WHEN $conds THEN v.paths[${prev + 4 * p2 + 1}]"
+      }.mkString(" ")
+      s"(CASE $whens ELSE v.paths[${prev + 12 + 1}] END || [${t % 4}])"
+    }
+    val init = (0 until 16).map { sx =>
+      if (sx / 4 == 0) s"pot64[${sx + 1}]" else "'-infinity'::DOUBLE"
+    }.mkString("[", ", ", "]")
+    val initPaths = (0 until 16).map(sx => s"[${sx % 4}]").mkString("[", ", ", "]")
+    val finWhens = (0 until 15).map { j =>
+      val conds = (j + 1 until 16).map(q => s"scores[${j + 1}] >= scores[${q + 1}]").mkString(" AND ")
+      s"WHEN $conds THEN paths[${j + 1}]"
+    }.mkString("\n      ")
+    val tagCase = labels.init.zipWithIndex.map { case (lab, i) => s"WHEN $i THEN '$lab'" }.mkString(" ")
+    s"""vit AS (
+       |  SELECT doc_id, i, n, $init AS scores, $initPaths AS paths FROM pots WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.doc_id, p.i, p.n,
+       |    [${(0 until 16).map(bestVal).mkString(",\n     ")}],
+       |    [${(0 until 16).map(bestPath).mkString(",\n     ")}]
+       |  FROM vit v JOIN pots p ON p.doc_id = v.doc_id AND p.i = v.i + 1),
+       |fin AS (SELECT doc_id, CASE $finWhens ELSE paths[16] END AS path FROM vit WHERE i = n),
+       |tags AS (SELECT w.doc_id, w.i, w.w,
+       |    CASE f.path[w.i] $tagCase ELSE '${labels.last}' END AS tag
+       |  FROM wrow w JOIN fin f USING (doc_id))""".stripMargin
+  }
+
+  /** The shared CTE prefix ending in per-token `tags` for the default model. */
+  private def tagsCtes(m: NerModel): String = {
+    require(m.classIndex.length == 4 && m.layout.windowSize == 3 && m.backgroundIndex == 0,
+      s"DefaultModelOracle expects the 4-class windowSize-3 conllNoTags model, " +
+        s"got ${m.classIndex.mkString(",")} w=${m.layout.windowSize} bg=${m.backgroundIndex}")
+    s"""WITH RECURSIVE
+       |${TranscriptsOracle.tokenCtes},
+       |wv(f, warr) AS (VALUES ${weightRows(m)}),
+       |${attCtes(m)},
+       |$featCtes,
+       |${foldCte(0, m.layout.weightCol(0).max + 1, "g0v")},
+       |${foldCte(1, m.layout.weightCol(1).max + 1, "g1v")},
+       |${foldCte(2, m.layout.weightCol(2).max + 1, "g2v")},
+       |gall AS (SELECT a.doc_id, a.i, a.n,
+       |    coalesce(g0s.g0v, ${zeros(m, 0)}) AS g0v,
+       |    coalesce(g1s.g1v, ${zeros(m, 1)}) AS g1v,
+       |    coalesce(g2s.g2v, ${zeros(m, 2)}) AS g2v
+       |  FROM att a
+       |  LEFT JOIN g0s ON g0s.doc_id = a.doc_id AND g0s.i = a.i
+       |  LEFT JOIN g1s ON g1s.doc_id = a.doc_id AND g1s.i = a.i
+       |  LEFT JOIN g2s ON g2s.doc_id = a.doc_id AND g2s.i = a.i),
+       |pots AS MATERIALIZED (SELECT doc_id, i, n, [
+       |    ${potExprs(m)}] AS pot64
+       |  FROM gall),
+       |${viterbi16(m.classIndex.toIndexedSeq)}""".stripMargin
+  }
+
+  /** q62 oracle: the DEFAULT model's per-token tags over the transcript
+    * table — q30 itself under the hash gate.
+    */
+  def tagsSql(m: NerModel): String =
+    s"""${tagsCtes(m)}
+       |SELECT ${TranscriptsOracle.docCols}, CAST(i - 1 AS INT) AS pos, w AS token, tag
+       |FROM tags""".stripMargin
+
+  /** q63 oracle: default-model triples — q32 itself under the hash gate. */
+  def triplesSql(m: NerModel): String =
+    s"""${tagsCtes(m)},
+       |${TranscriptsOracle.spanCtes},
+       |${SparkEntry.tripleTailCtes}
+       |SELECT ${TranscriptsOracle.docCols}, subj, subj_type, pred, obj, obj_type FROM trips""".stripMargin
+
+  /** q64 oracle: default-model entity linking — q33 itself under the gate. */
+  def linkSql(m: NerModel): String =
+    s"""${tagsCtes(m)},
+       |${TranscriptsOracle.spanCtes},
+       |${SparkEntry.linkCtes}
+       |SELECT etype, surface, surface_id, n_mentions, entity_id, canonical_surface FROM linkedo""".stripMargin
 }
