@@ -143,8 +143,30 @@ object Bench {
     */
   final case class Rep(cores: Int, round: Int, turns: Long, sec: Double, gcSec: Double,
       load: Double, admitAmbient: Double, ambientDuring: Double, ambientClean: Boolean,
-      selfCpuSec: Double) {
+      selfCpuSec: Double, calibMs: Double) {
     def util: Double = if (sec > 0) selfCpuSec / (cores * sec) else 0.0
+  }
+
+  /** Single-thread calibration probe: wall milliseconds of a FIXED
+    * deterministic xorshift spin (2·10^8 steps). Constant work → the number
+    * moves ONLY with host speed (frequency scaling, hypervisor steal /
+    * oversubscription), separating "the host got slower" from "the job got
+    * slower" — evidence the self-referential gate cannot produce on its own:
+    * a degraded-host rep can read util ≈ 1.0 (the JVM gets all its ticks,
+    * each tick just does less) while burning N× the CPU-seconds of the
+    * recorded clean run (observed: clean-looking 2-core reps at util 0.97
+    * and 6× the committed run's CPU-seconds). Not part of the clean gate —
+    * cross-run EVIDENCE in the JSON, comparable against the committed
+    * evidence-of-record's values.
+    */
+  private var calibSink = 0L // defeat dead-code elimination
+  def calibSpinMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    calibSink += x
+    (System.nanoTime() - t0) / 1e6
   }
 
   /** Final clean flags over the CURRENT rep pool: a rep is clean iff
@@ -206,6 +228,7 @@ object Bench {
     val model = NerModels.default(spark)
     val admitAmbient = Ambient.admit(ambientMax, deadlineNanos)
     val load = loadAvg
+    val calibMs = calibSpinMs()
     val obs = Observation(s"ner-$round-${System.nanoTime()}")
     val gc0 = gcMillis
     val a0 = Ambient.sample()
@@ -222,10 +245,10 @@ object Bench {
     val selfCpuSec =
       if (a0.selfTicks >= 0 && a1.selfTicks >= 0) (a1.selfTicks - a0.selfTicks) / 100.0 else -1.0
     val util = if (sec > 0) selfCpuSec / (cores * sec) else 0.0
-    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples observed=$nTriplesObserved cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f ambient=$ambientDuring%.2f ambientClean=$ambientClean selfCpu=$selfCpuSec%.1f util=$util%.2f tput=${nTurns / sec}%.0f")
+    System.err.println(f"[bench] nerJob round=$round convs=$nConvs turns=$nTurns triples=$nTriples observed=$nTriplesObserved cores=$cores sec=$sec%.2f gcSec=$gcSec%.2f load=$load%.1f ambient=$ambientDuring%.2f ambientClean=$ambientClean selfCpu=$selfCpuSec%.1f util=$util%.2f calib=$calibMs%.0fms tput=${nTurns / sec}%.0f")
     turns.unpersist(blocking = true)
     System.gc() // keep reps independent of prior reps' garbage
-    Rep(cores, round, nTurns, sec, gcSec, load, admitAmbient, ambientDuring, ambientClean, selfCpuSec)
+    Rep(cores, round, nTurns, sec, gcSec, load, admitAmbient, ambientDuring, ambientClean, selfCpuSec, calibMs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -338,7 +361,7 @@ object Bench {
     val pairClean = pairLevels.forall(l => cleanByLevel(l).size >= minCleanPerLevel)
     val suspect = !pairClean || varianceRatio > 3.0 || (cgroupCpus > 0 && cgroupCpus < cpus)
     val repsJson = reps.zip(finalFlags).map { case (r, cl) =>
-      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"self_cpu_sec":${r.selfCpuSec}%.1f,"util":${r.util}%.3f,"clean":$cl}""" }
+      f"""{"cores":${r.cores},"round":${r.round},"sec":${r.sec}%.3f,"gc_sec":${r.gcSec}%.3f,"load_before":${r.load}%.2f,"ambient_during":${r.ambientDuring}%.2f,"self_cpu_sec":${r.selfCpuSec}%.1f,"util":${r.util}%.3f,"calib_ms":${r.calibMs}%.0f,"clean":$cl}""" }
       .mkString("[", ",", "]")
 
     // ---- training-at-scale bench: distributed dictionary + Ehat + L-BFGS
@@ -500,7 +523,7 @@ object Bench {
       f""""suspect":$suspect,"rep_variance_ratio":$varianceRatio%.2f,"ambient_load_min":$ambientLoad%.2f,""" +
       f""""ambient_max_cores":$ambientMax%.1f,"util_frac":$utilFrac%.2f,"util_floor":$utilFloor%.2f,"cpu_slack":$cpuSlack%.2f,"clean_reps":[${cleanCounts.mkString(",")}],""" +
       f""""cgroup_cpus":$cgroupCpus%.1f,"jvm_cpus":${Runtime.getRuntime.availableProcessors},"reps":$repsJson,""" +
-      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat); a rep is clean iff ambient stayed under threshold DURING it AND its own JVM utilization selfCpuSec/(cores*wall) is within util_frac of its level's best (and >= util_floor) AND its CPU-seconds are within cpu_slack x its level's best (the self-referential gate: catches host-level interference, iowait stalls and throttling the ambient probe is blind to; level-RELATIVE because healthy utilization varies by level, ~1.3 at 2 cores to ~0.4 at 32); best-of over clean reps per level; suspect + variance read ONLY the 2->8 pair (the north-rule N->4N deliverable; the 32-core level is best-effort and topped up last); 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75); train gate is self-referential too: cpuSec-per-doc within train_cpu_slack of the best attempt, >= 2 attempts required (a lone attempt has no baseline), forced half-size confirmation when the first attempt exhausts the budget"}"""
+      """"scaling_note":"levels interleaved round-robin; reps admission-gated on ambient CPU (machine busy ticks minus this JVM's, /proc/stat vs /proc/self/stat); a rep is clean iff ambient stayed under threshold DURING it AND its own JVM utilization selfCpuSec/(cores*wall) is within util_frac of its level's best (and >= util_floor) AND its CPU-seconds are within cpu_slack x its level's best (the self-referential gate: catches host-level interference, iowait stalls and throttling the ambient probe is blind to; level-RELATIVE because healthy utilization varies by level, ~1.3 at 2 cores to ~0.4 at 32); best-of over clean reps per level; suspect + variance read ONLY the 2->8 pair (the north-rule N->4N deliverable; the 32-core level is best-effort and topped up last); 2->8 cores is the clean software-scaling pair (both below physical core count), 8->32 saturates SMT width of this VM (hardware per-thread ceiling ~0.75); per-rep calib_ms is a fixed single-thread xorshift spin: constant work, so it moves only with host speed — cross-run evidence separating a degraded host (frequency scaling / hypervisor oversubscription inflate CPU-seconds at util~1.0) from a slow job; train gate is self-referential too: cpuSec-per-doc within train_cpu_slack of the best attempt, >= 2 attempts required (a lone attempt has no baseline), forced half-size confirmation when the first attempt exhausts the budget"}"""
     // Evidence protection (round-4 verdict): the run's JSON ALWAYS lands in a
     // timestamped file; BENCH.json (the committed evidence of record) is only
     // replaced by a run the gate believes — a polluted driver window can no

@@ -355,53 +355,15 @@ object NerFeatures {
     ret
   }
 
-  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
-      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
-      reverse: Boolean, parenMatching: Boolean,
-      ngram: NgramOpts = NgramOpts.default,
-      disjWidth: Int = 4,
-      misc: MiscOpts = MiscOpts.default): Array[Array[String]] = {
-    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
-    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
-    val nt = at(loc + 1); val n2 = at(loc + 2)
-    val cWord = c.word; val pWord = p.word; val nWord = nt.word
-    val cShape = shapeGetString(c)
 
-    // ---- group 0: C ----
-    val g0 = new java.util.LinkedHashSet[String]()
-    // useNGrams: substrings of <word>, len >= 2, bounded/filtered/transformed
-    // per NgramOpts (NERFeatureFactory.java:1173-1209; preset default =
-    // noMidNGrams true, maxNGramLeng unset = -1)
-    val w = {
-      var s = "<" + cWord + ">"
-      if (ngram.lowercase) s = s.toLowerCase
-      if (ngram.dehyphenate) s = dehyphenate(s)
-      if (ngram.greekify) s = greekify(s)
-      s
-    }
-    val L = w.length
-    var i = 0
-    while (i < L) {
-      var j = i + 2
-      while (j <= L) {
-        if ((!ngram.noMid || i == 0 || j == L) && (ngram.maxLen < 0 || j - i <= ngram.maxLen)) {
-          val sub = "#" + w.substring(i, j) + "#"
-          g0.add(sub + "|C")
-          // conjoinShapeNGrams (:1203-1207): every substring also conjoined
-          // with the current word's shape (getString semantics)
-          if (ngram.conjoinShapes) g0.add(sub + "-" + cShape + "-CNGram-CS|C")
-        }
-        j += 1
-      }
-      i += 1
-    }
-    // useWord - ON BY DEFAULT in the reference (SeqClassifierFlags.java:120)
-    // and unset by every 3-class preset, so every stock model carries
-    // word-WORD features (round-3 finding: the family was missing here and
-    // the 100% differentials were riding on margin, not byte parity; models
-    // trained with -useWord false simply hash-miss these, the usual
-    // unseen-feature rule)
-    g0.add(cWord + "-WORD|C")                                 // useWord (:786-788)
+  /** Cold misc-family emissions of group 0, part A (useUnknown through
+    * useGenericFeatures) — extracted to keep `featuresAt` under HotSpot's
+    * 8000-bytecode-byte DontCompileHugeMethods limit (it sat at 7,655 bytes;
+    * the fast path's idsAt actually crossed it — see NerFeaturesFast).
+    * Emission order preserved exactly.
+    */
+  private def addMiscG0A(misc: MiscOpts, c: Tok, p: Tok, nt: Tok, cWord: String,
+      useTags: Boolean, useDistSim: Boolean, g0: java.util.LinkedHashSet[String]): Unit = {
     if (misc.useUnknown) {                                     // useUnknown (:790-794)
       g0.add(unkGet(c) + "-UNKNOWN|C")
       g0.add(unkGet(p) + "-PUNKNOWN|C")
@@ -481,59 +443,18 @@ object NerFeatures {
     if (misc.useClassFeature) g0.add("###|C")                  // (:1166-1168)
     if (misc.useGenericFeatures && c.generic != null)          // (:1466-1476)
       g0.add(c.generic + "|C") // pre-joined "<value>-<key>", see Tok.generic
-    if (useDistSim)                                            // useDistSim (:771)
-      g0.add(dsGet(c) + "-DISTSIM|C")
-    if (useTags)                                               // useTags (:943)
-      g0.add(tagGS(c) + "-TAG|C")
-    g0.add(pWord + "-PW|C")                                   // usePrev (:963)
-    if (useTags)                                               // usePrev+useTags (:963-965)
-      g0.add(tagGS(p) + "-PTAG|C")
-    if (useDistSim)                                            // usePrev+useDistSim (:966)
-      g0.add(dsGet(p) + "-PDISTSIM|C")
-    g0.add(nWord + "-NW|C")                                   // useNext (:980)
-    if (useTags)                                               // useNext+useTags (:979-981)
-      g0.add(tagGS(nt) + "-NTAG|C")
-    if (useDistSim)                                            // useNext+useDistSim (:982)
-      // the reference reads the PREVIOUS token's cluster here — mirrored
-      g0.add(dsGet(p) + "-NDISTSIM|C")
-    g0.add(cWord + "-" + pWord + "-W-PW|C")                   // useWordPairs (:1002)
-    g0.add(cWord + "-" + nWord + "-W-NW|C")
-    // wordShape + useTypeSeqs (:1234-1247); pShape/nShape via get -> "null" pads
-    val pShapeG = shapeGet(p); val nShapeG = shapeGet(nt)
-    g0.add(cShape + "-TYPE|C")
-    g0.add(pShapeG + "-PTYPE|C")
-    g0.add(nShapeG + "-NTYPE|C")
-    g0.add(pWord + "..." + cShape + "-PW_CTYPE|C")
-    g0.add(cShape + "..." + nWord + "-NW_CTYPE|C")
-    g0.add(pShapeG + "..." + cShape + "-PCTYPE|C")
-    g0.add(cShape + "..." + nShapeG + "-CNTYPE|C")
-    g0.add(pShapeG + "..." + cShape + "..." + nShapeG + "-PCNTYPE|C")
-    if (pWord.length <= 3)                                    // useLastRealWord (:1249)
-      g0.add(p2.word + "..." + cShape + "-PPW_CTYPE|C")
-    if (nWord.length <= 3)                                    // useNextRealWord (:1256)
-      g0.add(n2.word + "..." + cShape + "-NNW_CTYPE|C")
-    // useOccurrencePatterns (:1953-2018): long-range repeated-capitalized-word
-    // features over the WHOLE document window (+-150 tokens, so `toks` must be
-    // the full document, not a sentence). Full algorithm incl. the NNP-gated
-    // branches (which under a no-POS pipeline can never fire — getString(Tag)
-    // returns "" and fails every NNP comparison — leaving exactly
-    // {NO-OCCURRENCE-PATTERN, X-NEXT-OCCURRENCE-X, X-PREV-OCCURRENCE-X}).
-    // `reverse` negates the reference's reverse(i) indexors (the document
-    // itself is already physically reversed by the callers). One reference
-    // quirk mirrored: the else-branch PREV loop matches the repeated word at
-    // loc+jump WITHOUT reverse() (:1998) while its neighbors use reverse().
-    // All paths verified differentially (no-tags, tagged, tagged+reverse).
-    if (occPatterns) occurrenceFeatures(toks, loc, reverse, g0.add(_))
-    var d = 1                                // useDisjunctive, width from flags (:1267-1280)
-    while (d <= disjWidth) {
-      g0.add(at(loc + d).word + "-DISJN|C")
-      if (misc.useDisjunctiveShapeInteraction)      // (:1272-1273; cShape getString)
-        g0.add(at(loc + d).word + "-" + cShape + "-DISJN-CS|C")
-      g0.add(at(loc - d).word + "-DISJP|C")
-      if (misc.useDisjunctiveShapeInteraction)      // (:1276-1277)
-        g0.add(at(loc - d).word + "-" + cShape + "-DISJP-CS|C")
-      d += 1
-    }
+
+  }
+
+  /** Cold misc-family emissions of group 0, part B (useWideDisjunctive
+    * through useEitherSideDisjunctive) — same extraction rationale and
+    * order-preservation contract as part A.
+    */
+  private def addMiscG0B(misc: MiscOpts, toks: IndexedSeq[Tok], loc: Int,
+      reverse: Boolean, useTags: Boolean, useDistSim: Boolean, disjWidth: Int,
+      c: Tok, p: Tok, p2: Tok, nt: Tok, cWord: String, pWord: String, nWord: String,
+      cShape: String, g0: java.util.LinkedHashSet[String]): Unit = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
     if (misc.useWideDisjunctive) {                  // (:1282-1287; own width flag)
       var wd = 1
       while (wd <= misc.wideDisjunctionWidth) {
@@ -646,6 +567,112 @@ object NerFeatures {
         ed += 1
       }
     }
+
+  }
+
+  def featuresAt(toks: IndexedSeq[Tok], loc: Int, gaz: Gazette, occPatterns: Boolean,
+      useDistSim: Boolean, useTags: Boolean, useTaggySeq: Boolean,
+      reverse: Boolean, parenMatching: Boolean,
+      ngram: NgramOpts = NgramOpts.default,
+      disjWidth: Int = 4,
+      misc: MiscOpts = MiscOpts.default): Array[Array[String]] = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else Pad
+    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
+    val nt = at(loc + 1); val n2 = at(loc + 2)
+    val cWord = c.word; val pWord = p.word; val nWord = nt.word
+    val cShape = shapeGetString(c)
+
+    // ---- group 0: C ----
+    val g0 = new java.util.LinkedHashSet[String]()
+    // useNGrams: substrings of <word>, len >= 2, bounded/filtered/transformed
+    // per NgramOpts (NERFeatureFactory.java:1173-1209; preset default =
+    // noMidNGrams true, maxNGramLeng unset = -1)
+    val w = {
+      var s = "<" + cWord + ">"
+      if (ngram.lowercase) s = s.toLowerCase
+      if (ngram.dehyphenate) s = dehyphenate(s)
+      if (ngram.greekify) s = greekify(s)
+      s
+    }
+    val L = w.length
+    var i = 0
+    while (i < L) {
+      var j = i + 2
+      while (j <= L) {
+        if ((!ngram.noMid || i == 0 || j == L) && (ngram.maxLen < 0 || j - i <= ngram.maxLen)) {
+          val sub = "#" + w.substring(i, j) + "#"
+          g0.add(sub + "|C")
+          // conjoinShapeNGrams (:1203-1207): every substring also conjoined
+          // with the current word's shape (getString semantics)
+          if (ngram.conjoinShapes) g0.add(sub + "-" + cShape + "-CNGram-CS|C")
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // useWord - ON BY DEFAULT in the reference (SeqClassifierFlags.java:120)
+    // and unset by every 3-class preset, so every stock model carries
+    // word-WORD features (round-3 finding: the family was missing here and
+    // the 100% differentials were riding on margin, not byte parity; models
+    // trained with -useWord false simply hash-miss these, the usual
+    // unseen-feature rule)
+    g0.add(cWord + "-WORD|C")                                 // useWord (:786-788)
+    addMiscG0A(misc, c, p, nt, cWord, useTags, useDistSim, g0)
+    if (useDistSim)                                            // useDistSim (:771)
+      g0.add(dsGet(c) + "-DISTSIM|C")
+    if (useTags)                                               // useTags (:943)
+      g0.add(tagGS(c) + "-TAG|C")
+    g0.add(pWord + "-PW|C")                                   // usePrev (:963)
+    if (useTags)                                               // usePrev+useTags (:963-965)
+      g0.add(tagGS(p) + "-PTAG|C")
+    if (useDistSim)                                            // usePrev+useDistSim (:966)
+      g0.add(dsGet(p) + "-PDISTSIM|C")
+    g0.add(nWord + "-NW|C")                                   // useNext (:980)
+    if (useTags)                                               // useNext+useTags (:979-981)
+      g0.add(tagGS(nt) + "-NTAG|C")
+    if (useDistSim)                                            // useNext+useDistSim (:982)
+      // the reference reads the PREVIOUS token's cluster here — mirrored
+      g0.add(dsGet(p) + "-NDISTSIM|C")
+    g0.add(cWord + "-" + pWord + "-W-PW|C")                   // useWordPairs (:1002)
+    g0.add(cWord + "-" + nWord + "-W-NW|C")
+    // wordShape + useTypeSeqs (:1234-1247); pShape/nShape via get -> "null" pads
+    val pShapeG = shapeGet(p); val nShapeG = shapeGet(nt)
+    g0.add(cShape + "-TYPE|C")
+    g0.add(pShapeG + "-PTYPE|C")
+    g0.add(nShapeG + "-NTYPE|C")
+    g0.add(pWord + "..." + cShape + "-PW_CTYPE|C")
+    g0.add(cShape + "..." + nWord + "-NW_CTYPE|C")
+    g0.add(pShapeG + "..." + cShape + "-PCTYPE|C")
+    g0.add(cShape + "..." + nShapeG + "-CNTYPE|C")
+    g0.add(pShapeG + "..." + cShape + "..." + nShapeG + "-PCNTYPE|C")
+    if (pWord.length <= 3)                                    // useLastRealWord (:1249)
+      g0.add(p2.word + "..." + cShape + "-PPW_CTYPE|C")
+    if (nWord.length <= 3)                                    // useNextRealWord (:1256)
+      g0.add(n2.word + "..." + cShape + "-NNW_CTYPE|C")
+    // useOccurrencePatterns (:1953-2018): long-range repeated-capitalized-word
+    // features over the WHOLE document window (+-150 tokens, so `toks` must be
+    // the full document, not a sentence). Full algorithm incl. the NNP-gated
+    // branches (which under a no-POS pipeline can never fire — getString(Tag)
+    // returns "" and fails every NNP comparison — leaving exactly
+    // {NO-OCCURRENCE-PATTERN, X-NEXT-OCCURRENCE-X, X-PREV-OCCURRENCE-X}).
+    // `reverse` negates the reference's reverse(i) indexors (the document
+    // itself is already physically reversed by the callers). One reference
+    // quirk mirrored: the else-branch PREV loop matches the repeated word at
+    // loc+jump WITHOUT reverse() (:1998) while its neighbors use reverse().
+    // All paths verified differentially (no-tags, tagged, tagged+reverse).
+    if (occPatterns) occurrenceFeatures(toks, loc, reverse, g0.add(_))
+    var d = 1                                // useDisjunctive, width from flags (:1267-1280)
+    while (d <= disjWidth) {
+      g0.add(at(loc + d).word + "-DISJN|C")
+      if (misc.useDisjunctiveShapeInteraction)      // (:1272-1273; cShape getString)
+        g0.add(at(loc + d).word + "-" + cShape + "-DISJN-CS|C")
+      g0.add(at(loc - d).word + "-DISJP|C")
+      if (misc.useDisjunctiveShapeInteraction)      // (:1276-1277)
+        g0.add(at(loc - d).word + "-" + cShape + "-DISJP-CS|C")
+      d += 1
+    }
+    addMiscG0B(misc, toks, loc, reverse, useTags, useDistSim,
+      disjWidth, c, p, p2, nt, cWord, pWord, nWord, cShape, g0)
     // useGazettes (NERFeatureFactory.java:1211-1232): sloppy = feature on any
     // word hit; clean = feature only when the whole phrase matches around loc
     // (pad word "" never matches a phrase word)

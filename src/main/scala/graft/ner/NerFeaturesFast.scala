@@ -170,83 +170,17 @@ object NerFeaturesFast {
   private val hNseq = fnv("NSEQ|CnC")
   private val hPnseq = fnv("PNSEQ|CpCnC")
 
-  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
-      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
-      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
-      parenMatching: Boolean,
-      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
-      disjWidth: Int = 4,
-      misc: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): Array[Array[Int]] = {
-    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
-    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
-    val nt = at(loc + 1); val n2 = at(loc + 2)
-    val cWord = c.word; val pWord = p.word; val nWord = nt.word
 
-    var hb = scratch.hashes
-    var hn = 0
-    @inline def emit(x: Long): Unit = {
-      // dedup: linear scan (feature sets are small); preserves set semantics
-      var i = 0
-      var dup = false
-      while (i < hn && !dup) { if (hb(i) == x) dup = true; i += 1 }
-      if (!dup) {
-        if (hn == hb.length) { hb = java.util.Arrays.copyOf(hb, hb.length << 1); scratch.hashes = hb }
-        hb(hn) = x; hn += 1
-      }
-    }
-
-    // ---- group 0 ----
-    // ngrams over <word>: default preset shape stays zero-alloc (virtual
-    // < > padding); non-default NgramOpts take the generic branch over the
-    // transformed padded word (one small string per token, options only)
-    if (ngram == NerFeatures.NgramOpts.default) {
-      val wLen = cWord.length + 2
-      var i0 = 0
-      while (i0 < wLen) {
-        var j = i0 + 2
-        while (j <= wLen) {
-          if (i0 == 0 || j == wLen) {
-            var x = hc(FnvOffset, '#')
-            var k = i0
-            while (k < j) {
-              val ch = if (k == 0) '<' else if (k == wLen - 1) '>' else cWord.charAt(k - 1)
-              x = hc(x, ch)
-              k += 1
-            }
-            x = hc(x, '#')
-            emit(h(x, suffixC))
-          }
-          j += 1
-        }
-        i0 += 1
-      }
-    } else {
-      var w0 = "<" + cWord + ">"
-      if (ngram.lowercase) w0 = w0.toLowerCase
-      if (ngram.dehyphenate) w0 = NerFeatures.dehyphenate(w0)
-      if (ngram.greekify) w0 = NerFeatures.greekify(w0)
-      val cShapeForNGrams = if (c.shape == null) "" else c.shape // getString semantics
-      val wLen = w0.length
-      var i0 = 0
-      while (i0 < wLen) {
-        var j = i0 + 2
-        while (j <= wLen) {
-          if ((!ngram.noMid || i0 == 0 || j == wLen) &&
-              (ngram.maxLen < 0 || j - i0 <= ngram.maxLen)) {
-            var x = hc(FnvOffset, '#')
-            var k = i0
-            while (k < j) { x = hc(x, w0.charAt(k)); k += 1 }
-            x = hc(x, '#')
-            emit(h(x, suffixC))
-            if (ngram.conjoinShapes) // "#sub#-<shape>-CNGram-CS|C"
-              emit(h(h(h(hc(x, '-'), cShapeForNGrams), "-CNGram-CS"), suffixC))
-          }
-          j += 1
-        }
-        i0 += 1
-      }
-    }
-    emit(h(h(h(FnvOffset, cWord), "-WORD"), suffixC)) // useWord (default true)
+  /** Cold misc-family emissions of group 0, part A (useUnknown through
+    * useGenericFeatures) — extracted from `idsAt` to keep its bytecode under
+    * HotSpot's 8000-byte DontCompileHugeMethods limit: the NP-head additions
+    * pushed the inline body to 8,196 bytes, leaving the hot method
+    * INTERPRETED (measured 4.4x tagging CPU; see BASELINE.md). Emission
+    * order is preserved exactly: this is the contiguous block between the
+    * WORD emission and the DISTSIM/TAG emissions.
+    */
+  private def emitMiscG0A(misc: NerFeatures.MiscOpts, c: Tok, p: Tok, nt: Tok,
+      cWord: String, useTags: Boolean, useDistSim: Boolean, emit: Long => Unit): Unit = {
     if (misc.useUnknown) {                                  // useUnknown (:790-794)
       emit(h(h(hUnkGet(FnvOffset, c), "-UNKNOWN"), suffixC))
       emit(h(h(hUnkGet(FnvOffset, p), "-PUNKNOWN"), suffixC))
@@ -316,44 +250,18 @@ object NerFeaturesFast {
     if (misc.useClassFeature) emit(hConstC("###|C"))
     if (misc.useGenericFeatures && c.generic != null) // (:1466-1476) pre-joined "<value>-<key>"
       emit(h(h(FnvOffset, c.generic), suffixC))
-    if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
-    if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
-    emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
-    if (useTags) emit(h(h(hTagGS(FnvOffset, p), "-PTAG"), suffixC))
-    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-PDISTSIM"), suffixC))
-    emit(h(h(h(FnvOffset, nWord), "-NW"), suffixC))
-    if (useTags) emit(h(h(hTagGS(FnvOffset, nt), "-NTAG"), suffixC))
-    // reference bug mirrored: NDISTSIM reads the PREVIOUS token's cluster
-    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-NDISTSIM"), suffixC))
-    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), pWord), "-W-PW"), suffixC))
-    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), nWord), "-W-NW"), suffixC))
-    val cShapeGS = if (c.shape == null) "" else c.shape
-    emit(h(h(h(FnvOffset, cShapeGS), "-TYPE"), suffixC))
-    emit(h(h(hShapeGet(FnvOffset, p), "-PTYPE"), suffixC))
-    emit(h(h(hShapeGet(FnvOffset, nt), "-NTYPE"), suffixC))
-    emit(h(h(h(h(h(FnvOffset, pWord), "..."), cShapeGS), "-PW_CTYPE"), suffixC))
-    emit(h(h(h(h(h(FnvOffset, cShapeGS), "..."), nWord), "-NW_CTYPE"), suffixC))
-    emit(h(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "-PCTYPE"), suffixC))
-    emit(h(h(hShapeGet(h(h(FnvOffset, cShapeGS), "..."), nt), "-CNTYPE"), suffixC))
-    emit(h(h(hShapeGet(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "..."), nt), "-PCNTYPE"), suffixC))
-    if (pWord.length <= 3)
-      emit(h(h(h(h(h(FnvOffset, p2.word), "..."), cShapeGS), "-PPW_CTYPE"), suffixC))
-    if (nWord.length <= 3)
-      emit(h(h(h(h(h(FnvOffset, n2.word), "..."), cShapeGS), "-NNW_CTYPE"), suffixC))
-    // occurrence patterns: SHARED algorithm with the string path (the emitted
-    // strings are a closed constant set, mapped to precomputed hashes)
-    if (occPatterns)
-      NerFeatures.occurrenceFeatures(toks, loc, reverse, s => emit(occHash.get(s).longValue))
-    var d = 1
-    while (d <= disjWidth) {
-      emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
-      if (misc.useDisjunctiveShapeInteraction)
-        emit(h(h(h(hc(h(FnvOffset, at(loc + d).word), '-'), cShapeGS), "-DISJN-CS"), suffixC))
-      emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
-      if (misc.useDisjunctiveShapeInteraction)
-        emit(h(h(h(hc(h(FnvOffset, at(loc - d).word), '-'), cShapeGS), "-DISJP-CS"), suffixC))
-      d += 1
-    }
+  }
+
+  /** Cold misc-family emissions of group 0, part B (useWideDisjunctive
+    * through useEitherSideDisjunctive) — same extraction rationale and
+    * order-preservation contract as part A; this is the contiguous block
+    * between the disjunctive loop and the gazette emissions.
+    */
+  private def emitMiscG0B(misc: NerFeatures.MiscOpts, toks: IndexedSeq[Tok], loc: Int,
+      reverse: Boolean, useTags: Boolean, useDistSim: Boolean, disjWidth: Int,
+      c: Tok, p: Tok, p2: Tok, nt: Tok, cWord: String, pWord: String, nWord: String,
+      cShapeGS: String, emit: Long => Unit): Unit = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
     if (misc.useWideDisjunctive) {
       var wd = 1
       while (wd <= misc.wideDisjunctionWidth) {
@@ -370,7 +278,7 @@ object NerFeaturesFast {
         ds += 1
       }
     }
-    if (misc != NerFeatures.MiscOpts.default) {
+    locally {
       val cShapeMisc = cShapeGS
       val posIdx = if (reverse) toks.length - 1 - loc else loc // pre-reverse position
       if (misc.useTitle && NerFeatures.isTitleWord(cWord)) emit(h(h(FnvOffset, "IS_TITLE"), suffixC))
@@ -473,6 +381,128 @@ object NerFeaturesFast {
         }
       }
     }
+  }
+
+  def idsAt(toks: IndexedSeq[Tok], loc: Int, dict: LongIntHash, scratch: Scratch,
+      gaz: Gazette, occPatterns: Boolean, useDistSim: Boolean,
+      useTags: Boolean, useTaggySeq: Boolean, reverse: Boolean,
+      parenMatching: Boolean,
+      ngram: NerFeatures.NgramOpts = NerFeatures.NgramOpts.default,
+      disjWidth: Int = 4,
+      misc: NerFeatures.MiscOpts = NerFeatures.MiscOpts.default): Array[Array[Int]] = {
+    @inline def at(i: Int): Tok = if (i >= 0 && i < toks.length) toks(i) else NerFeatures.Pad
+    val c = at(loc); val p = at(loc - 1); val p2 = at(loc - 2)
+    val nt = at(loc + 1); val n2 = at(loc + 2)
+    val cWord = c.word; val pWord = p.word; val nWord = nt.word
+
+    var hb = scratch.hashes
+    var hn = 0
+    @inline def emit(x: Long): Unit = {
+      // dedup: linear scan (feature sets are small); preserves set semantics
+      var i = 0
+      var dup = false
+      while (i < hn && !dup) { if (hb(i) == x) dup = true; i += 1 }
+      if (!dup) {
+        if (hn == hb.length) { hb = java.util.Arrays.copyOf(hb, hb.length << 1); scratch.hashes = hb }
+        hb(hn) = x; hn += 1
+      }
+    }
+    val miscOn = misc != NerFeatures.MiscOpts.default
+    val emitF: Long => Unit = if (miscOn) x => emit(x) else null
+
+    // ---- group 0 ----
+    // ngrams over <word>: default preset shape stays zero-alloc (virtual
+    // < > padding); non-default NgramOpts take the generic branch over the
+    // transformed padded word (one small string per token, options only)
+    if (ngram == NerFeatures.NgramOpts.default) {
+      val wLen = cWord.length + 2
+      var i0 = 0
+      while (i0 < wLen) {
+        var j = i0 + 2
+        while (j <= wLen) {
+          if (i0 == 0 || j == wLen) {
+            var x = hc(FnvOffset, '#')
+            var k = i0
+            while (k < j) {
+              val ch = if (k == 0) '<' else if (k == wLen - 1) '>' else cWord.charAt(k - 1)
+              x = hc(x, ch)
+              k += 1
+            }
+            x = hc(x, '#')
+            emit(h(x, suffixC))
+          }
+          j += 1
+        }
+        i0 += 1
+      }
+    } else {
+      var w0 = "<" + cWord + ">"
+      if (ngram.lowercase) w0 = w0.toLowerCase
+      if (ngram.dehyphenate) w0 = NerFeatures.dehyphenate(w0)
+      if (ngram.greekify) w0 = NerFeatures.greekify(w0)
+      val cShapeForNGrams = if (c.shape == null) "" else c.shape // getString semantics
+      val wLen = w0.length
+      var i0 = 0
+      while (i0 < wLen) {
+        var j = i0 + 2
+        while (j <= wLen) {
+          if ((!ngram.noMid || i0 == 0 || j == wLen) &&
+              (ngram.maxLen < 0 || j - i0 <= ngram.maxLen)) {
+            var x = hc(FnvOffset, '#')
+            var k = i0
+            while (k < j) { x = hc(x, w0.charAt(k)); k += 1 }
+            x = hc(x, '#')
+            emit(h(x, suffixC))
+            if (ngram.conjoinShapes) // "#sub#-<shape>-CNGram-CS|C"
+              emit(h(h(h(hc(x, '-'), cShapeForNGrams), "-CNGram-CS"), suffixC))
+          }
+          j += 1
+        }
+        i0 += 1
+      }
+    }
+    emit(h(h(h(FnvOffset, cWord), "-WORD"), suffixC)) // useWord (default true)
+    if (miscOn) emitMiscG0A(misc, c, p, nt, cWord, useTags, useDistSim, emitF)
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, c), "-DISTSIM"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, c), "-TAG"), suffixC))
+    emit(h(h(h(FnvOffset, pWord), "-PW"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, p), "-PTAG"), suffixC))
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-PDISTSIM"), suffixC))
+    emit(h(h(h(FnvOffset, nWord), "-NW"), suffixC))
+    if (useTags) emit(h(h(hTagGS(FnvOffset, nt), "-NTAG"), suffixC))
+    // reference bug mirrored: NDISTSIM reads the PREVIOUS token's cluster
+    if (useDistSim) emit(h(h(hDsGet(FnvOffset, p), "-NDISTSIM"), suffixC))
+    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), pWord), "-W-PW"), suffixC))
+    emit(h(h(h(hc(h(FnvOffset, cWord), '-'), nWord), "-W-NW"), suffixC))
+    val cShapeGS = if (c.shape == null) "" else c.shape
+    emit(h(h(h(FnvOffset, cShapeGS), "-TYPE"), suffixC))
+    emit(h(h(hShapeGet(FnvOffset, p), "-PTYPE"), suffixC))
+    emit(h(h(hShapeGet(FnvOffset, nt), "-NTYPE"), suffixC))
+    emit(h(h(h(h(h(FnvOffset, pWord), "..."), cShapeGS), "-PW_CTYPE"), suffixC))
+    emit(h(h(h(h(h(FnvOffset, cShapeGS), "..."), nWord), "-NW_CTYPE"), suffixC))
+    emit(h(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "-PCTYPE"), suffixC))
+    emit(h(h(hShapeGet(h(h(FnvOffset, cShapeGS), "..."), nt), "-CNTYPE"), suffixC))
+    emit(h(h(hShapeGet(h(h(h(hShapeGet(FnvOffset, p), "..."), cShapeGS), "..."), nt), "-PCNTYPE"), suffixC))
+    if (pWord.length <= 3)
+      emit(h(h(h(h(h(FnvOffset, p2.word), "..."), cShapeGS), "-PPW_CTYPE"), suffixC))
+    if (nWord.length <= 3)
+      emit(h(h(h(h(h(FnvOffset, n2.word), "..."), cShapeGS), "-NNW_CTYPE"), suffixC))
+    // occurrence patterns: SHARED algorithm with the string path (the emitted
+    // strings are a closed constant set, mapped to precomputed hashes)
+    if (occPatterns)
+      NerFeatures.occurrenceFeatures(toks, loc, reverse, s => emit(occHash.get(s).longValue))
+    var d = 1
+    while (d <= disjWidth) {
+      emit(h(h(h(FnvOffset, at(loc + d).word), "-DISJN"), suffixC))
+      if (misc.useDisjunctiveShapeInteraction)
+        emit(h(h(h(hc(h(FnvOffset, at(loc + d).word), '-'), cShapeGS), "-DISJN-CS"), suffixC))
+      emit(h(h(h(FnvOffset, at(loc - d).word), "-DISJP"), suffixC))
+      if (misc.useDisjunctiveShapeInteraction)
+        emit(h(h(h(hc(h(FnvOffset, at(loc - d).word), '-'), cShapeGS), "-DISJP-CS"), suffixC))
+      d += 1
+    }
+    if (miscOn) emitMiscG0B(misc, toks, loc, reverse, useTags, useDistSim,
+      disjWidth, c, p, p2, nt, cWord, pWord, nWord, cShapeGS, emitF)
     // useGazettes: hashes precomputed at gazette build (string path parity
     // pinned by FeatureParitySpec); emission point mirrors NerFeatures
     if (!gaz.isEmpty) {
