@@ -58,6 +58,10 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q02_revenue_by_nation" -> ((s, d) => {
+      // r6 note: measured a Par.fan of the fact side and REVERTED it — the
+      // probe chain is all broadcast joins + partial agg (vectorized,
+      // ~0.06 s/600k rows even single-task), so the extra repartition only
+      // added its own shuffle (+0.4 s). Broadcast builds dominate this query.
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
       val n = t(s, d, "nation"); val r = t(s, d, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -132,24 +136,41 @@ object SparkEntry {
     }),
 
     // ===== text layer =====
+    // r6: tokenization through the native one-pass scanner (graft_tokens /
+    // graft_token_stats — output-identical to the regexp_extract_all + HOF
+    // formulations, ExpressionsSpec pins it) and Par.fan so the map side is
+    // not one single-split scan task. q12's old shape evaluated the token
+    // regex three times per row plus two interpreted higher-order lambdas.
     "q11_tokens" -> ((s, d) => {
-      t(s, d, "documents").select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      graft.functions.GraftFunctions.register(s)
+      // explode_outer + isNotNull == explode here (token arrays carry no
+      // nulls), but blocks InferFiltersFromGenerate from pushing a double
+      // graft_tokens evaluation into the single-task scan (see Dedup r6 note)
+      graft.ops.Par.fan(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode_outer(graft.functions.GraftFunctions.graft_tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
     }),
     "q12_token_stats" -> ((s, d) => {
-      val tk = toks(col("text"))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        size(tk).as("n_tokens"),
-        size(filter(tk, x => x.rlike("^[a-z]+$"))).as("n_alpha"),
-        length(col("text")).as("n_chars"),
-        aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Par.fan(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.graft_token_stats(col("text")).as("st"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_alpha").as("n_alpha"), col("n_chars"),
+          col("st.sum_token_len").as("sum_token_len"))
     }),
     "q13_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "q14_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q15_dict_tag" -> ((s, d) => {
       val gazette = Seq(("join", "OP"), ("merge", "OP"), ("filter", "OP"), ("scan", "OP"),
         ("spark", "SYS"), ("customer", "ENT"), ("table", "ENT")).toDF(s)("word", "tag")
-      t(s, d, "documents").select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Par.fan(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode_outer(graft.functions.GraftFunctions.graft_tokens(col("text"))).as("word"))
+        .where(col("word").isNotNull) // see q11 note
         .join(broadcast(gazette), Seq("word"))
         .select(col("doc_id"), col("word"), col("tag"))
     }),
@@ -251,8 +272,9 @@ object SparkEntry {
     // native Catalyst expressions (codegen'd): shape histogram over doc tokens
     "q38_shape_histogram" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      t(s, d, "documents")
-        .select(explode(regexp_extract_all(col("text"), lit(TokPat), lit(0))).as("tok"))
+      graft.ops.Par.fan(t(s, d, "documents").select(col("text")))
+        .select(explode_outer(regexp_extract_all(col("text"), lit(TokPat), lit(0))).as("tok"))
+        .where(col("tok").isNotNull) // see q11 note
         .select(graft.functions.GraftFunctions.graft_shape(col("tok")).as("shape"))
         .groupBy(col("shape")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("shape"))
@@ -664,11 +686,17 @@ object SparkEntry {
     hashCrfMemo._2
   }
 
-  /** Tokenized documents table (the shared tag-corpus shape of q41-q53). */
+  /** Tokenized documents table (the shared tag-corpus shape of q41-q53).
+    * r6: Par.fan first — the downstream per-doc CRF decode otherwise runs in
+    * ONE task (single parquet split); graft_tokens = the native scanner,
+    * output-identical to `toks` (ExpressionsSpec).
+    */
   private def tokDocs(s: SparkSession, d: String):
       org.apache.spark.sql.Dataset[(Long, Seq[String])] = {
     import s.implicits._
-    t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+    graft.functions.GraftFunctions.register(s)
+    graft.ops.Par.fan(t(s, d, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), graft.functions.GraftFunctions.graft_tokens(col("text")).as("tk"))
       .as[(Long, Seq[String])]
   }
 

@@ -102,7 +102,9 @@ object Multimodal {
   def withPayload(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    // fan (r6, guide §2.5): encode + downstream decode otherwise run in ONE
+    // scan task (single parquet split)
+    Par.fan(docs.select(col("doc_id"), col("text"))).as[(Long, String)].map { case (id, text) =>
       val seed = Hashing.fnv1a64(text) ^ id
       (id % 3) match {
         case 0 => MediaRow(id, "image", synthPng(seed))

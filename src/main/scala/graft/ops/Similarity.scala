@@ -34,8 +34,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // fan: the corpus side of the BNLJ is otherwise ONE scan task (single
+    // parquet split), serializing every query x corpus cosine (guide §2.5)
+    val joined = Par.fan(embeddings.select(col("vec_id"), col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id"), col("sim")) // shuffle 24B rows, not arrays
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -86,17 +90,23 @@ object Similarity {
     graft.functions.GraftFunctions.registerRhp(spark, nTables, bitsPerTable)
     // native codegen'd signature expression (was a per-row Scala UDF —
     // round-2 review finding: it broke the engine's codegen standard)
-    val chunked = embeddings.select(col("vec_id"), col("embedding"),
+    // fan: signature computation + candidate probe are otherwise one task
+    val chunked = Par.fan(embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
         posexplode(graft.functions.GraftFunctions
           .graft_rhp_signatures(col("embedding"), nTables, bitsPerTable))) // (pos=table, col=key)
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     val q = chunked.where(col("vec_id") % queryMod === 0)
       .select(col("chunk"), col("key"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // sim BEFORE the distinct: it is a pure function of the pair, so every
+    // duplicate candidate row carries the identical value and the dedup +
+    // window shuffles move (qid, vid, sim) instead of two float[dim] arrays
+    // (the old shape forced a SortAggregate over array columns — guide §2.3)
     val cand = chunked.join(broadcast(q), Seq("chunk", "key"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -224,20 +234,95 @@ object Similarity {
     * no BroadcastNestedLoopJoin (asserted by PlanSpec). Pick B ~ sqrt(2 x
     * total cores) so every core gets a tile.
     */
+  /** Spark's Round(double, 6): HALF_UP over BigDecimal.valueOf, NaN/Inf pass
+    * through — replicated so closure-side sims stay bit-identical to the
+    * previous `round(col, 6)` column (and to the DuckDB oracle).
+    */
+  private[ops] def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def cosinePairsBlocked(embeddings: DataFrame, tau: Double, nBlocks: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val B = nBlocks
-    val base = embeddings.select(col("vec_id"), col("embedding"),
-      pmod(hash(col("vec_id")), lit(B)).as("b"))
-    val l = base.select(col("vec_id").as("id_l"), col("embedding").as("e_l"), col("b").as("b_l"),
-      explode(transform(sequence(col("b"), lit(B - 1)), j => col("b") * B + j)).as("tile"))
-    val r = base.select(col("vec_id").as("id_r"), col("embedding").as("e_r"), col("b").as("b_r"),
-      explode(transform(sequence(lit(0), col("b")), i => i * B + col("b"))).as("tile"))
-    l.join(r, Seq("tile"))
-      .where(col("b_l") =!= col("b_r") || col("id_l") < col("id_r"))
-      .withColumn("sim", round(cosine(col("e_l"), col("e_r")), 6))
-      .where(col("sim") >= tau)
-      .select(least(col("id_l"), col("id_r")).as("vec_id_1"),
-        greatest(col("id_l"), col("id_r")).as("vec_id_2"), col("sim"))
+    val p = spark.sparkContext.defaultParallelism
+    // r6 rewrite (guide §1.2 step 1 / §2.4): the former tile EQUI-JOIN planned
+    // as a BroadcastHashJoin whose probe side was ONE scan task, so all
+    // O(n^2/2) joined rows (2M at sf0.1) were materialized through the join
+    // machinery single-threaded (measured 2.75 s). Same tile scheme, but the
+    // replicated streams are repartitioned BY TILE (explicit partition count —
+    // an ENSURE_REQUIREMENTS exchange would be AQE-coalesced back to one
+    // partition at these byte sizes) and each tile's pair loop runs inside
+    // mapPartitions: no joined-row materialization, per-vector norms hoisted,
+    // and the BigDecimal round is gated to near-threshold pairs (round can
+    // raise a sim by < 5e-7, so raw < tau - 1e-6 can never round to >= tau).
+    // Every unordered pair still meets in EXACTLY one tile (min-block,
+    // max-block); per-task memory stays O(n/B); no BNLJ (PlanSpec).
+    val base = Par.fan(embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), pmod(hash(col("vec_id")), lit(B)).as("b"))
+      .as[(Long, Array[Float], Int)]
+    // vector of block b serves tile (i,j), i<=j: as LEFT when b==i, as RIGHT
+    // when b==j; the diagonal tile (b,b) gets one LEFT copy serving both sides
+    val routed = base.flatMap { case (id, e, b) =>
+      Iterator.range(b, B).map(j => (b * B + j, true, id, e)) ++
+        Iterator.range(0, b).map(i => (i * B + b, false, id, e))
+    }.toDF("tile", "is_l", "vec_id", "embedding")
+    routed.repartition(p, col("tile"))
+      .sortWithinPartitions(col("tile"))
+      .as[(Int, Boolean, Long, Array[Float])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def tilePairs(tile: Int,
+              rows: scala.collection.mutable.ArrayBuffer[(Boolean, Long, Array[Float])]) = {
+            val diag = tile / B == tile % B
+            val lefts = rows.filter(r => r._1 || diag)
+            val rights = if (diag) lefts else rows.filter(!_._1)
+            val ln = lefts.map(r => math.sqrt(normSq(r._3)))
+            val rn = if (diag) ln else rights.map(r => math.sqrt(normSq(r._3)))
+            for {
+              i <- lefts.indices.iterator
+              j <- rights.indices.iterator
+              if !diag || lefts(i)._2 < rights(j)._2
+              raw = dot(lefts(i)._3, rights(j)._3) / (ln(i) * rn(j))
+              if raw >= tau - 1e-6 // NaN (zero vector) compares false, like round+filter
+              sim = round6(raw)
+              if sim >= tau
+            } yield (math.min(lefts(i)._2, rights(j)._2),
+              math.max(lefts(i)._2, rights(j)._2), sim)
+          }
+          private def advance(): Unit =
+            while (!pending.hasNext && buf.hasNext) {
+              val tile = buf.head._1
+              val rows = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long, Array[Float])]
+              while (buf.hasNext && buf.head._1 == tile) {
+                val r = buf.next(); rows += ((r._2, r._3, r._4))
+              }
+              pending = tilePairs(tile, rows)
+            }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long, Double) = { advance(); pending.next() }
+        }
+      }
+      .toDF("vec_id_1", "vec_id_2", "sim")
+  }
+
+  /** Same fold order as GraftCosine.compute's dot loop (common prefix). */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Same fold order as GraftCosine.compute's norm loops. */
+  private def normSq(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val v = a(i).toDouble; s += v * v; i += 1 }
+    s
   }
 }

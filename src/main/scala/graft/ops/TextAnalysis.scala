@@ -39,7 +39,8 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1] from length / punctuation / stopword
     * ratios (the C4/Gopher-style cheap filters, as column algebra).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs0: DataFrame): DataFrame = {
+    val docs = Par.fan(docs0.select(col("doc_id"), col("text"))) // guide §2.5: 1-split scan
     val toks = tokensCol(lower(col("text")))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
@@ -68,7 +69,8 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "los", "se", "un", "por", "con"),
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "dans", "pour"))
 
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs0: DataFrame): DataFrame = {
+    val docs = Par.fan(docs0.select(col("doc_id"), col("text"))) // guide §2.5: 1-split scan
     val toks = tokensCol(lower(col("text")))
     def hits(lang: String): Column =
       size(filter(toks, t => t.isInCollection(langMarkers(lang)))).as(s"hits_$lang")
@@ -89,6 +91,7 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame = {
     val fp = udf((s: String) => Hashing.rollingFingerprint(s))
     val sh = udf((s: String) => Hashing.simHash(Hashing.wordShingles(s.toLowerCase, 3)))
-    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"), sh(lower(col("text"))).as("simhash"))
+    Par.fan(docs.select(col("doc_id"), col("text"))) // guide §2.5: 1-split scan
+      .select(col("doc_id"), fp(col("text")).as("fingerprint"), sh(lower(col("text"))).as("simhash"))
   }
 }

@@ -261,8 +261,13 @@ object Trainer {
       }
     // useReverse: physically reverse every doc before anything else, like the
     // reference's Collections.reverse(doc) at read time
+    // copy(...) so newly added LabeledDoc fields cannot be silently dropped
+    // again (r5 advice: unknowns/generics were lost here, degrading those
+    // families to their 'null' constants under useReverse with no require)
     val docs = if (!cfg.useReverse) docs0
-      else docs0.map(d => LabeledDoc(d.words.reverse, d.labels.reverse, d.tags.reverse, d.lemmas.reverse, d.chunks.reverse))
+      else docs0.map(d => d.copy(words = d.words.reverse, labels = d.labels.reverse,
+        tags = d.tags.reverse, lemmas = d.lemmas.reverse, chunks = d.chunks.reverse,
+        unknowns = d.unknowns.reverse, generics = d.generics.reverse))
     docs.cache()
 
     // Pass 1: corpus-derived known-lowercase words (ObjectBankWrapper.java:46-68).

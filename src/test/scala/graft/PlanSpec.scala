@@ -48,14 +48,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("q24 blocked pairs: tile EQUI-join, no broadcast cartesian") {
+  test("q24 blocked pairs: tile-partitioned pair loop, no broadcast cartesian") {
     // round-1 finding: cosinePairs was a BroadcastNestedLoopJoin over all
-    // pairs (driver-side materialization, scale-killer). The blocked tile
-    // formulation must plan as a shuffle/broadcast HASH join on the tile key.
+    // pairs (driver-side materialization, scale-killer). round-6: the tile
+    // equi-join itself materialized every candidate pair through join
+    // machinery in ONE probe task; the rewrite shuffles the replicated
+    // streams BY TILE (explicit partition count, immune to AQE coalescing)
+    // and runs each tile's pair loop inside mapPartitions.
     val p = plan("q24_embed_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("hashpartitioning(tile"), p.take(3000))
+    assert(p.contains("MapPartitions"), p.take(3000))
   }
 
   test("q23 lsh: no Scala UDF in the plan (native graft_rhp_signatures)") {
