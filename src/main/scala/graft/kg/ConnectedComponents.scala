@@ -16,11 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count ceiling for the driver-local union-find fast path (r6).
+    * Vocabulary-derived graphs (entity-link surface similarity, small-corpus
+    * dup graphs) are a few hundred to a few thousand edges, yet each
+    * large/small-star round costs several shuffle stages + an eager
+    * localCheckpoint + a signature job — measured 2-5 s of pure round
+    * overhead for graphs whose union-find takes microseconds. 1M edges
+    * (16 MB of longs) is the same driver-size class as the engine's existing
+    * vocabulary/dictionary collects (r5 audit); above it the log-round
+    * distributed path runs unchanged. Env-overridable, never hard-coded to
+    * the local core count.
+    */
+  private def defaultLocalMaxEdges: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "1000000").toLong
+
   /** @param edges (src, dst) pairs, any orientation, self-loops ok.
+    * @param localMaxEdges override of the local-path ceiling (tests pass -1
+    *        to force the distributed star-contraction path).
     * @return DataFrame(id: Long, component: Long) where component is the
     *         minimum node id reachable from id; covers every endpoint.
     */
-  def run(edges: Dataset[(Long, Long)], maxIter: Int = 20): DataFrame = {
+  def run(edges: Dataset[(Long, Long)], maxIter: Int = 20,
+      localMaxEdges: Long = defaultLocalMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -30,6 +47,7 @@ object ConnectedComponents {
     // cached relation — round-1 review finding) and the ContextCleaner frees
     // the blocks once the returned result becomes unreachable.
     val raw = edges.toDF("u", "v").localCheckpoint()
+    if (localMaxEdges >= 0 && raw.count() <= localMaxEdges) return runLocal(spark, raw)
     var e: DataFrame = raw
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("v"), greatest($"u", $"v").as("u"))
@@ -69,5 +87,37 @@ object ConnectedComponents {
     val assigned = e.select($"u".as("id"), $"v".as("component"))
     allNodes.join(assigned, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
+  }
+
+  /** Driver-local union-find over a collected edge list — OUTPUT-IDENTICAL
+    * to the star-contraction path: one row per distinct endpoint, component =
+    * minimum reachable node id (hanging the larger root under the smaller
+    * keeps every root the min id of its component). KgSpec pins the
+    * local-vs-distributed agreement; q19/q44/q64 hash-gate it against the
+    * oracle's recursive closure.
+    */
+  private def runLocal(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = raw.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        val gp = parent(parent(x)) // path halving
+        parent(x) = gp
+        x = gp
+      }
+      x
+    }
+    for ((u, v) <- es) {
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val out = parent.keys.toArray.map(id => (id, find(id)))
+    spark.createDataFrame(out.toIndexedSeq).toDF("id", "component")
   }
 }

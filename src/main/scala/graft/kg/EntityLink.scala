@@ -54,12 +54,23 @@ object EntityLink {
       .withColumn("surface_id", sid($"etype", $"surface"))
   }
 
-  /** Similarity edges between surface ids of the same entity type. */
+  /** Similarity edges between surface ids of the same entity type.
+    * r6 (guide §2.4, same rewrite as Dedup.minHashPairs): candidate pairs
+    * come straight from each (etype, band, key) bucket's posting list — the
+    * old self-join evaluated the banded minhash flatMap TWICE (probe +
+    * broadcast build) at any scale and needed a separate window pass for the
+    * bucket-size cap. One explicit-count shuffle (AQE would coalesce an
+    * ENSURE_REQUIREMENTS exchange at small sizes), streamed run-grouping; a
+    * bucket above maxBucketSize emits nothing, exactly like the old
+    * `bsz <= cap` filter which dropped the whole bucket before pairing.
+    */
   def similarityEdges(surfaces: DataFrame, cfg: Config = Config()): Dataset[(Long, Long)] = {
     val spark = surfaces.sparkSession
     import spark.implicits._
     val shSize = cfg.shingleSize; val k = cfg.numHashes; val bands = cfg.bands
     val rows = k / bands
+    val p = spark.sparkContext.defaultParallelism
+    val maxBucket = cfg.maxBucketSize
     // one row per (etype, band, bandKey, surface_id, norm)
     val banded = surfaces.select($"etype", $"surface_id", $"norm").as[(String, Long, String)]
       .flatMap { case (etype, sid, norm) =>
@@ -68,20 +79,37 @@ object EntityLink {
           (etype, b, bk, sid, norm)
         }
       }.toDF("etype", "band", "key", "sid", "norm")
-    // skew guard: drop pathological buckets before the pair join
-    val bucketed = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"etype", $"band", $"key")))
-      .where($"bsz" <= cfg.maxBucketSize)
-      .drop("bsz")
-    val l = bucketed.select($"etype", $"band", $"key", $"sid".as("sid1"), $"norm".as("norm1"))
-    val r = bucketed.select($"etype", $"band", $"key", $"sid".as("sid2"), $"norm".as("norm2"))
     val tau = cfg.minJaccard
     val jac = udf((a: String, b: String) =>
       Hashing.jaccard(Hashing.charShingles(a, shSize), Hashing.charShingles(b, shSize)))
-    l.join(r, Seq("etype", "band", "key"))
-      .where($"sid1" < $"sid2")
-      .select($"sid1", $"sid2", $"norm1", $"norm2").distinct()
+    banded.repartition(p, $"etype", $"band", $"key")
+      .sortWithinPartitions($"etype", $"band", $"key")
+      .select($"etype", $"band", $"key", $"sid", $"norm").as[(String, Int, Long, Long, String)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, String, String)] {
+          private var pending: Iterator[(Long, Long, String, String)] = Iterator.empty
+          private def advance(): Unit =
+            while (!pending.hasNext && buf.hasNext) {
+              val key = (buf.head._1, buf.head._2, buf.head._3)
+              val rowsB = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+              var over = false
+              while (buf.hasNext && (buf.head._1, buf.head._2, buf.head._3) == key) {
+                val r = buf.next()
+                if (!over) { rowsB += ((r._4, r._5)); if (rowsB.length > maxBucket) { over = true; rowsB.clear() } }
+              }
+              if (!over && rowsB.length >= 2) {
+                val a = rowsB.sortBy(_._1).toArray
+                pending = a.indices.iterator.flatMap(i =>
+                  Iterator.range(i + 1, a.length).map(j =>
+                    (a(i)._1, a(j)._1, a(i)._2, a(j)._2)))
+              }
+            }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long, String, String) = { advance(); pending.next() }
+        }
+      }
+      .toDF("sid1", "sid2", "norm1", "norm2").distinct()
       .where(jac($"norm1", $"norm2") >= tau || $"norm1" === $"norm2")
       .select($"sid1".as("_1"), $"sid2".as("_2")).as[(Long, Long)]
   }

@@ -33,10 +33,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("r6 driver-local fast path == distributed star contraction (incl. self-loops)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(300)((rng.nextInt(250).toLong, rng.nextInt(250).toLong)) // self-loops kept
+      val local = ConnectedComponents.run(edges.toDS()).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = ConnectedComponents.run(edges.toDS(), localMaxEdges = -1).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == dist, s"trial $trial")
+    }
+  }
+
   test("chain graph converges (log-round contraction, not diameter-bound)") {
     import spark.implicits._
+    // force the distributed path (r6: small inputs default to the local one)
     val edges = (0L until 300L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDS(), maxIter = 12).collect()
+    val got = ConnectedComponents.run(edges.toDS(), maxIter = 12, localMaxEdges = -1).collect()
     assert(got.forall(_.getLong(1) == 0L), "all nodes should reach component 0")
   }
 
