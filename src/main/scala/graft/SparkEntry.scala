@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Table handle memo (r6). `spark.read.parquet` performs driver-side file
+    * listing + footer schema inference at DEFINITION time — a measured
+    * 0.03-0.05 s single-task job per table, re-paid on every query
+    * invocation and serialized (q02 touches five tables = ~0.3 s before any
+    * execution). The memo caches only the resolved DataFrame HANDLE (logical
+    * plan + schema — metadata, not data): every execution still scans the
+    * parquet inputs from disk, so this is not result caching. Entries are
+    * plan-sized and keyed by (session, dir, name); sessions per JVM are few
+    * and short-lived entries die with the process.
+    */
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.computeIfAbsent((s, dir, name),
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Conversation count scales with the sf directory (sandbox stand-in for
     * the 10^12-turn Iceberg table).
